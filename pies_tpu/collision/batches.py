@@ -1,0 +1,189 @@
+"""Per-substep collision constraint batches.
+
+The reference regenerates collision constraints every substep from the
+broadphase sweep (``Solver.cpp:680-875``) into dynamically-sized vectors.
+Under XLA they become fixed-capacity batches with validity masks plus an
+overflow latch that reproduces the ``_simFailed`` semantics
+(``Solver.cpp:741-755,852-856``).
+
+Weights mirror the reference headers:
+
+* node-node ``CollisionConstraint``: w = 1e5 (``CollisionConstraint.h:14``)
+* ``PointTriangleCollisionConstraint``: w = 1e4 (``CollisionConstraint.h:33``)
+* ``EdgeCollisionConstraint``: w = 1e6 (``CollisionConstraint.h:56``)
+* ``StaticCollisionConstraint`` (floor): w = 1e4 (``CollisionConstraint.h:78``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+W_NODE_NODE = 1.0e5
+W_POINT_TRI = 1.0e4
+W_EDGE = 1.0e6
+W_STATIC = 1.0e4
+
+# AᵀA of the point-triangle / edge collision differential matrix
+# A = [[0,0,0,0],[-1,1,0,0],[-1,0,1,0],[-1,0,0,1]]
+# (CollisionConstraint.cpp:74-84,202-211).
+ATA_DIFF4 = np.array(
+    [
+        [3.0, -1.0, -1.0, -1.0],
+        [-1.0, 1.0, 0.0, 0.0],
+        [-1.0, 0.0, 1.0, 0.0],
+        [-1.0, 0.0, 0.0, 1.0],
+    ],
+    dtype=np.float32,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CollisionSet:
+    """All dynamically-detected constraints for one substep."""
+
+    # Point-triangle: node a against triangle (b, c, d) of another triangle
+    # (Solver.cpp:777-797).
+    pt_idx: jax.Array  # i32[K, 4]
+    pt_mask: jax.Array  # f32[K]
+    # Floor contacts, one entry per (triangle, corner) below the threshold —
+    # multiplicity preserved (Solver.cpp:829-834 emits duplicates per tri).
+    static_idx: jax.Array  # i32[S]
+    static_mask: jax.Array  # f32[S]
+    # Edge-edge collisions: generation is disabled in the reference
+    # (commented out at Solver.cpp:799-823) so this stays empty in quirk mode;
+    # the projection kernels exist for the non-quirk extension.
+    edge_idx: jax.Array  # i32[E, 4]
+    edge_mask: jax.Array  # f32[E]
+    # Node-node pairs (only the PBD inline path generates these in the
+    # reference; the PD friction pass reads an always-empty list,
+    # Solver.cpp:398-428).
+    nn_idx: jax.Array  # i32[P, 2]
+    nn_mask: jax.Array  # f32[P]
+    overflow: jax.Array  # bool[] — any capacity exceeded this substep
+
+
+def empty_collision_set(
+    pt_cap: int = 0, static_cap: int = 0, edge_cap: int = 0, nn_cap: int = 0
+) -> CollisionSet:
+    z = lambda *s: jnp.zeros(s, dtype=jnp.int32)
+    m = lambda *s: jnp.zeros(s, dtype=jnp.float32)
+    return CollisionSet(
+        pt_idx=z(pt_cap, 4),
+        pt_mask=m(pt_cap),
+        static_idx=z(static_cap),
+        static_mask=m(static_cap),
+        edge_idx=z(edge_cap, 4),
+        edge_mask=m(edge_cap),
+        nn_idx=z(nn_cap, 2),
+        nn_mask=m(nn_cap),
+        overflow=jnp.asarray(False),
+    )
+
+
+def detect_floor_contacts(
+    positions: jax.Array,
+    triangles: jax.Array,
+    tri_mask: jax.Array,
+    floor_height: jax.Array,
+    thickness: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Floor contact entries exactly as the PD sweep emits them
+    (``Solver.cpp:829-834``): for every triangle, every corner with
+    ``y < floorHeight + thickness`` produces one ``StaticCollisionConstraint``
+    — a node shared by k triangles is emitted k times, and that multiplicity
+    feeds the collision matrix (+k·w on the diagonal) and friction passes.
+
+    Returns ``(static_idx i32[T*3], static_mask f32[T*3])``.
+    """
+    corner_idx = triangles.reshape(-1)  # [T*3]
+    y = positions[corner_idx, 1]
+    hit = (y < floor_height + thickness) & (
+        jnp.repeat(tri_mask, 3) > 0
+    )
+    return corner_idx, hit.astype(positions.dtype)
+
+
+def project_static(
+    positions: jax.Array,
+    static_idx: jax.Array,
+    floor_height: jax.Array,
+    reference_quirks: bool,
+) -> jax.Array:
+    """Static-collision projection (``CollisionConstraint.cpp:447-455``).
+
+    Quirk mode clamps to the hard-coded plane y = 0 exactly as the reference
+    does (it ignores ``floorHeight`` even though detection uses it); non-quirk
+    mode clamps to the configured floor height.
+    """
+    p = positions[static_idx]
+    plane = jnp.zeros_like(floor_height) if reference_quirks else floor_height
+    y = jnp.where(p[:, 1] < plane, plane, p[:, 1])
+    return p.at[:, 1].set(y)
+
+
+def project_point_tri(
+    positions: jax.Array,
+    pt_idx: jax.Array,
+    thickness: jax.Array,
+) -> jax.Array:
+    """Point-triangle local-step projection
+    (``CollisionConstraint.cpp:86-124``): if the point is within ``thickness``
+    of the (front side of the) triangle plane, push only the point out along
+    the normal; the triangle's projected positions stay put.
+
+    Returns ``f32[K, 4, 3]``.
+    """
+    p = positions[pt_idx]  # [K,4,3]
+    a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    n = jnp.cross(c - b, d - b)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n_dot_p = jnp.sum(n * (a - b), axis=-1)
+    disp = jnp.where(n_dot_p < thickness, thickness - n_dot_p, 0.0)
+    a_proj = a + disp[:, None] * n
+    return jnp.stack([a_proj, b, c, d], axis=1)
+
+
+def stabilize_point_tri(
+    positions: jax.Array,
+    prev_positions: jax.Array,
+    inv_mass: jax.Array,
+    pt_idx: jax.Array,
+    pt_mask: jax.Array,
+    thickness: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One Jacobi pass of point-triangle stabilization
+    (``CollisionConstraint.cpp:126-162``): mass-weighted push-out applied to
+    position *and* prevPosition ("prevents spuriously adding velocity").
+
+    The reference applies constraints sequentially in place; here deltas are
+    accumulated and applied at once (deterministic ``scatter-add``), which the
+    fidelity suite bounds against the sequential oracle.
+    """
+    p = positions[pt_idx]
+    a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    n = jnp.cross(c - b, d - b)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n_dot_p = jnp.sum(n * (a - b), axis=-1)
+    active = (n_dot_p < thickness) & (pt_mask > 0)
+    disp = jnp.where(active, thickness - n_dot_p, 0.0)[:, None] * n
+
+    im = inv_mass[pt_idx]  # [K,4]
+    w_tri = im[:, 1] + im[:, 2] + im[:, 3]
+    w_sum = im[:, 0] + w_tri
+    inv_w = 1.0 / jnp.maximum(w_sum, 1e-20)
+    # Note: each of b, c, d receives the full wTriSum-weighted share
+    # (CollisionConstraint.cpp:152-154) — faithful to the reference.
+    da = disp * (im[:, 0] * inv_w)[:, None]
+    dbcd = -disp * (w_tri * inv_w)[:, None]
+
+    delta = jnp.zeros_like(positions)
+    delta = delta.at[pt_idx[:, 0]].add(da)
+    delta = delta.at[pt_idx[:, 1]].add(dbcd)
+    delta = delta.at[pt_idx[:, 2]].add(dbcd)
+    delta = delta.at[pt_idx[:, 3]].add(dbcd)
+    return positions + delta, prev_positions + delta

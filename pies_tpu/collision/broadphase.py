@@ -1,0 +1,219 @@
+"""Broadphase pipelines: point-triangle CCD sweep and node-node response.
+
+These replace the two threaded sweeps of the reference —
+``_parallelPointTriangleCollisions`` (``Solver.cpp:680-875``, the live PD
+pipeline) and the inline PBD node-node loop (``Solver.cpp:81-130``) — with
+sort-based uniform-grid passes (see :mod:`grid`) that compile into the same
+XLA program as the solver step: no host round-trips, no threads.
+
+Capacity overflows in the triangle pipeline latch the sim-failed flag, the
+analog of the reference's bucket-explosion safety check
+(``Solver.cpp:741-755``).  The node-node pipeline drops overflow candidates
+without latching, because the reference's PBD path has no failure latch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..options import PhysicsParams, StepConfig
+from .grid import aabb_cell_slots, build_grid, gather_candidates
+from .narrowphase import point_triangle_ccd
+
+
+def detect_point_tri_collisions(
+    x: jax.Array,  # f32[N,3] advected positions
+    prev: jax.Array,  # f32[N,3] positions at substep start
+    triangles: jax.Array,  # i32[T,3]
+    tri_mask: jax.Array,  # f32[T]
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """The PD collision sweep (``Solver.cpp:680-875``).
+
+    For every triangle pair sharing a covered grid cell (minus pairs with a
+    common node, ``Solver.cpp:757-770``), each of the query triangle's three
+    corners is CCD-tested against the other triangle
+    (``Solver.cpp:777-797``); hits become ``PointTriangleCollisionConstraint``
+    entries.  Pair duplication semantics match the reference: a pair is
+    tested once per shared cell, and both (A,B) and (B,A) orders are swept.
+
+    Returns ``(pt_idx i32[K,4], pt_mask f32[K], overflow bool[])``.
+    """
+    budget = config.budget
+    t = triangles.shape[0]
+
+    # Swept AABB over position and prevPosition of all three corners
+    # (Solver.cpp:643-657).  Quirk: the reference computes the cell range on
+    # *world* coordinates, never dividing by the grid scale
+    # (Solver.cpp:659-670), so the triangle grid effectively has unit cells.
+    scale = jnp.asarray(1.0, x.dtype) if config.reference_quirks else params.grid_spacing
+    p_now = x[triangles] / scale  # [T,3,3]
+    p_prev = prev[triangles] / scale
+    lo = jnp.minimum(p_now.min(axis=1), p_prev.min(axis=1))
+    hi = jnp.maximum(p_now.max(axis=1), p_prev.max(axis=1))
+
+    live = tri_mask > 0
+    # Insertion uses TriCompRange (range cap 50, Solver.cpp:974); queries use
+    # sweptTriRange (cap 20, Solver.cpp:672).
+    ins_coords, ins_valid, ins_over = aabb_cell_slots(
+        lo, hi, budget.max_cells_per_tri, range_cap=50
+    )
+    q_coords, q_valid, q_over = aabb_cell_slots(
+        lo, hi, budget.max_cells_per_tri, range_cap=20
+    )
+    ins_valid = ins_valid & live[:, None]
+    q_valid = q_valid & live[:, None]
+
+    hgrid = build_grid(ins_coords, ins_valid)
+    cand, cand_valid, gather_over = gather_candidates(
+        hgrid,
+        q_coords,
+        q_valid,
+        per_cell_cap=budget.max_entries_per_cell,
+        budget=budget.max_candidates_per_tri,
+    )  # cand: i32[T,B]
+
+    # Skip self and shared-node pairs (Solver.cpp:757-770).
+    own = triangles  # [T,3]
+    other = triangles[cand]  # [T,B,3]
+    shares = jnp.any(
+        own[:, None, :, None] == other[:, :, None, :], axis=(-1, -2)
+    )  # [T,B]
+    pair_ok = cand_valid & ~shares & (cand != jnp.arange(t)[:, None])
+
+    # CCD: each corner of the query triangle vs the candidate triangle,
+    # relative to the candidate's first node (Solver.cpp:777-788).
+    b_idx = other[..., 0]  # [T,B]
+    c_idx = other[..., 1]
+    d_idx = other[..., 2]
+
+    bp0, bp1 = prev[b_idx], x[b_idx]  # [T,B,3]
+    ab0 = prev[c_idx] - bp0
+    ac0 = prev[d_idx] - bp0
+    ab1 = x[c_idx] - bp1
+    ac1 = x[d_idx] - bp1
+
+    ap0 = prev[own][:, None, :, :] - bp0[:, :, None, :]  # [T,B,3corners,3]
+    ap1 = x[own][:, None, :, :] - bp1[:, :, None, :]
+
+    hit, _ = point_triangle_ccd(
+        ap0,
+        ab0[:, :, None, :],
+        ac0[:, :, None, :],
+        ap1,
+        ab1[:, :, None, :],
+        ac1[:, :, None, :],
+        params.collision_threshold_distance,
+    )  # [T,B,3]
+    hit = hit & pair_ok[:, :, None]
+
+    # Compact (a, b, c, d) tuples into the fixed contact buffer.
+    flat_hit = hit.reshape(-1)
+    flat_a = jnp.broadcast_to(own[:, None, :], hit.shape).reshape(-1)
+    flat_b = jnp.broadcast_to(b_idx[:, :, None], hit.shape).reshape(-1)
+    flat_c = jnp.broadcast_to(c_idx[:, :, None], hit.shape).reshape(-1)
+    flat_d = jnp.broadcast_to(d_idx[:, :, None], hit.shape).reshape(-1)
+
+    cap = budget.max_point_tri_contacts
+    pos = jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
+    total = pos[-1] + 1
+    dest = jnp.where(flat_hit & (pos < cap), pos, cap)  # cap = dump slot
+
+    pt_idx = jnp.zeros((cap + 1, 4), dtype=jnp.int32)
+    tuples = jnp.stack([flat_a, flat_b, flat_c, flat_d], axis=-1)
+    pt_idx = pt_idx.at[dest].set(tuples)[:cap]
+    pt_mask = (
+        jnp.zeros(cap + 1, dtype=x.dtype).at[dest].set(1.0)[:cap]
+    )
+
+    overflow = (
+        jnp.any(ins_over & live)
+        | jnp.any(q_over & live)
+        | jnp.any(gather_over & live)
+        | (total > cap)
+    )
+    return pt_idx, pt_mask, overflow
+
+
+def pbd_node_node_response(
+    state,
+    x: jax.Array,
+    vel: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Inline node-node collision response + friction impulses
+    (``Solver.cpp:81-130``), Jacobi-accumulated over the sorted grid.
+
+    Matches the reference's pair semantics: every node sweeps the buckets its
+    padded AABB covers (``NodeCompRange``, ``Solver.cpp:877-901``), so each
+    overlapping pair is processed from both sides and once per shared cell —
+    the response below accumulates exactly those contributions.  The 0.85
+    relaxation and mass weighting are the reference's
+    (``Solver.cpp:106-110``).
+    """
+    budget = config.budget
+    n = x.shape[0]
+    live = state.node_mask > 0
+
+    r_grid = (state.radius + 0.5) / params.grid_spacing  # radiusPadding 0.5
+    center = x / params.grid_spacing
+    lo = center - r_grid[:, None]
+    hi = center + r_grid[:, None]
+    coords, valid, _ = aabb_cell_slots(
+        lo, hi, budget.max_cells_per_node, range_cap=50
+    )
+    valid = valid & live[:, None]
+
+    hgrid = build_grid(coords, valid)
+    cand, cand_valid, _ = gather_candidates(
+        hgrid,
+        coords,
+        valid,
+        per_cell_cap=budget.max_entries_per_cell,
+        budget=budget.max_candidates_per_node,
+    )  # [N,B]
+
+    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ok = cand_valid & (cand != i_idx) & live[:, None] & live[cand]
+
+    xi = x[:, None, :]
+    xj = x[cand]
+    diff = xj - xi
+    dist = jnp.linalg.norm(diff, axis=-1)
+    disp = state.radius[:, None] + state.radius[cand] - dist
+    touching = ok & (disp > 0.0)
+
+    dir_ = jnp.where(
+        (dist > 1e-5)[..., None],
+        diff / jnp.maximum(dist, 1e-20)[..., None],
+        jnp.array([1.0, 0.0, 0.0], x.dtype),
+    )
+    im_i = state.inv_mass[:, None]
+    im_j = state.inv_mass[cand]
+    w_sum = jnp.maximum(im_i + im_j, 1e-20)
+
+    push = jnp.where(touching[..., None], 0.85 * disp[..., None] * dir_, 0.0)
+    dx_i = jnp.sum(-push * (im_i / w_sum)[..., None], axis=1)  # [N,3]
+    dx_j_contrib = push * (im_j / w_sum)[..., None]  # [N,B,3]
+    dx = dx_i.at[cand.reshape(-1)].add(
+        dx_j_contrib.reshape(-1, 3)
+    )
+
+    # Friction impulses (Solver.cpp:113-125).
+    rel = vel[cand] - vel[:, None, :]
+    perp = rel - jnp.sum(rel * dir_, axis=-1, keepdims=True) * dir_
+    friction = jnp.where(
+        jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold,
+        1.0,
+        params.friction,
+    )
+    imp = jnp.where(touching[..., None], friction[..., None] * perp, 0.0)
+    dv_i = jnp.sum(-imp * (im_i / w_sum)[..., None], axis=1)
+    dv = dv_i.at[cand.reshape(-1)].add(
+        (imp * (im_j / w_sum)[..., None]).reshape(-1, 3)
+    )
+
+    return x + dx * live[:, None], vel + dv * live[:, None], jnp.asarray(False)

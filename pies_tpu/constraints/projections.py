@@ -1,0 +1,229 @@
+"""Batched constraint projections (the Projective-Dynamics local step).
+
+Each function maps current node positions onto one constraint type's manifold
+for the whole padded batch at once, mirroring the per-constraint
+``projectToAuxiliaryVariable`` functors of the reference
+(``Constraints.cpp``, ``ShapeMatchingConstraint.cpp``) but as single
+fixed-shape gather → math → (optional) scatter programs.
+
+Both solvers share these projections exactly as the reference shares
+``TProjection`` between ``projectToAuxiliaryVariable`` (PD) and
+``projectNodePositions`` (PBD) (``Constraints.h:112-129``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.precision import einsum as _einsum
+
+from ..ops import math3d
+from ..topology import BendBatch, DistanceBatch, GroupBatch, PositionBatch, TetBatch
+
+
+def project_distance(x: jax.Array, batch: DistanceBatch) -> jax.Array:
+    """Distance projection with the reference's asymmetric displacement rule
+    (``Constraints.cpp:11-37``): only node 0 is moved, by the full
+    ``-(rest - dist)·dir``; the degenerate-direction fallback is ``(1,0,0)``
+    when ``dist ≤ 1e-5``.
+
+    Returns the projected pair configuration ``f32[C, 2, 3]``.
+    """
+    pa = x[batch.idx[:, 0]]
+    pb = x[batch.idx[:, 1]]
+    diff = pb - pa
+    dist = jnp.linalg.norm(diff, axis=-1)
+    safe = dist > 1e-5
+    dir_ = jnp.where(
+        safe[:, None],
+        diff / jnp.maximum(dist, 1e-20)[:, None],
+        jnp.array([1.0, 0.0, 0.0], dtype=x.dtype),
+    )
+    disp = batch.rest - dist
+    proj0 = pa - disp[:, None] * dir_
+    return jnp.stack([proj0, pb], axis=1)
+
+
+def project_position(batch: PositionBatch) -> jax.Array:
+    """Pin to the stored fixed position (``Constraints.cpp:58-63``)."""
+    return batch.target
+
+
+def _deformation_gradient(x: jax.Array, batch: TetBatch) -> jax.Array:
+    """``F = P·Qinv`` with P's columns the current edges
+    (``Constraints.cpp:85-91``)."""
+    p = x[batch.idx]  # [C,4,3]
+    edges = jnp.stack(
+        [p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1
+    )  # [C,3,3] columns = edges
+    return _einsum("cij,cjk->cik", edges, batch.qinv)
+
+
+def _projected_from_fhat(fhat: jax.Array) -> jax.Array:
+    """Pack ``(0, F̂·e₁, F̂·e₂, F̂·e₃)`` as the projected configuration
+    (``Constraints.cpp:124-127``) — differential coordinates with node 0 at
+    the origin."""
+    zero = jnp.zeros_like(fhat[..., :, 0])
+    return jnp.stack(
+        [zero, fhat[..., :, 0], fhat[..., :, 1], fhat[..., :, 2]], axis=-2
+    )
+
+
+def project_strain(x: jax.Array, batch: TetBatch) -> jax.Array:
+    """Strain-limiting projection (``Constraints.cpp:76-128``): clamp the
+    singular values of F to ``[minStrain, maxStrain]``, negating σ₃ when the
+    element is inverted (``det F < 0``).
+
+    Returns ``f32[C, 4, 3]``.
+    """
+    f = _deformation_gradient(x, batch)
+    u, sigma, v = math3d.svd3x3(f)
+    s_hat = jnp.clip(sigma, batch.lo[:, None], batch.hi[:, None])
+    inverted = math3d.det3x3(f) < 0.0
+    s_hat = s_hat.at[:, 2].multiply(jnp.where(inverted, -1.0, 1.0))
+    fhat = _einsum("cij,cj,ckj->cik", u, s_hat, v)
+    return _projected_from_fhat(fhat)
+
+
+def _compute_d(sigma: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Additive singular-value correction driving ``∏(σ+D)`` into
+    ``[minΩ, maxΩ]`` by 10 fixed Newton-like iterations — a transcription of
+    ``computeD`` (``Constraints.cpp:186-203``)."""
+    d = jnp.zeros_like(sigma)
+    for _ in range(10):
+        spd = sigma + d
+        product = spd[:, 0] * spd[:, 1] * spd[:, 2]
+        omega = jnp.clip(product, lo, hi)
+        c = product - omega
+        grad = jnp.stack(
+            [spd[:, 1] * spd[:, 2], spd[:, 0] * spd[:, 2], spd[:, 0] * spd[:, 1]],
+            axis=-1,
+        )
+        gg = jnp.sum(grad * grad, axis=-1)
+        gd = jnp.sum(grad * d, axis=-1)
+        d = ((gd - c) / jnp.maximum(gg, 1e-20))[:, None] * grad
+    return d
+
+
+def project_volume(x: jax.Array, batch: TetBatch) -> jax.Array:
+    """Volume-preservation projection (``Constraints.cpp:205-255``)."""
+    f = _deformation_gradient(x, batch)
+    u, sigma, v = math3d.svd3x3(f)
+    s_hat = sigma + _compute_d(sigma, batch.lo, batch.hi)
+    fhat = _einsum("cij,cj,ckj->cik", u, s_hat, v)
+    return _projected_from_fhat(fhat)
+
+
+def project_bend(
+    x: jax.Array, inv_mass: jax.Array, batch: BendBatch
+) -> jax.Array:
+    """Dihedral-angle projection per the PBD 2007 paper, Appendix A — a
+    transcription of ``Constraints.cpp:312-366``.  Degenerate triangles
+    (``qSquaredSum < 1e-5``) leave positions untouched, matching the
+    reference's early return; the reference's un-guarded normal divisions
+    (TODO at ``Constraints.cpp:332``) are guarded here with a tiny epsilon.
+
+    Returns ``f32[C, 4, 3]``.
+    """
+    p = x[batch.idx]
+    wim = inv_mass[batch.idx]  # [C,4]
+    p2 = p[:, 1] - p[:, 0]
+    p3 = p[:, 2] - p[:, 0]
+    p4 = p[:, 3] - p[:, 0]
+    c23 = jnp.cross(p2, p3)
+    c24 = jnp.cross(p2, p4)
+    l23 = jnp.maximum(jnp.linalg.norm(c23, axis=-1), 1e-20)
+    l24 = jnp.maximum(jnp.linalg.norm(c24, axis=-1), 1e-20)
+    n1 = c23 / l23[:, None]
+    n2 = c24 / l24[:, None]
+    d = jnp.clip(jnp.sum(n1 * n2, axis=-1), -1.0, 1.0)
+    c = jnp.arccos(d) - batch.rest_angle
+
+    q3 = (jnp.cross(p2, n2) + jnp.cross(n1, p2) * d[:, None]) / l23[:, None]
+    q4 = (jnp.cross(p2, n1) + jnp.cross(n2, p2) * d[:, None]) / l24[:, None]
+    q2 = (
+        -(jnp.cross(p3, n2) + jnp.cross(n1, p3) * d[:, None]) / l23[:, None]
+        - (jnp.cross(p4, n1) + jnp.cross(n2, p4) * d[:, None]) / l24[:, None]
+    )
+    q1 = -q2 - q3 - q4
+    q = jnp.stack([q1, q2, q3, q4], axis=1)  # [C,4,3]
+
+    w_sum = jnp.sum(wim, axis=-1)
+    q_sq = jnp.sum(q * q, axis=(-1, -2))
+    num = jnp.sqrt(jnp.maximum(1.0 - d * d, 0.0)) * c
+    scale = jnp.where(
+        q_sq < 1e-5,
+        jnp.zeros_like(q_sq),
+        num / jnp.maximum(q_sq, 1e-20),
+    )
+    delta = (
+        -q
+        * (4.0 * wim / jnp.maximum(w_sum, 1e-20)[:, None])[..., None]
+        * scale[:, None, None]
+    )
+    return p + delta
+
+
+def shape_group_moments(
+    x: jax.Array, mass: jax.Array, batch: GroupBatch
+) -> tuple[jax.Array, jax.Array]:
+    """Per-group COM and mass-weighted moment matrix via ``segment_sum``
+    (replacing the accumulation loops at ``ShapeMatchingConstraint.cpp:98-111``).
+
+    COM uses equal weights ``1/count`` (reference quirk: COM is not
+    mass-weighted while the moment matrix is).
+    """
+    g = batch.num_groups
+    pos = x[batch.node_idx] * batch.member_mask[:, None]
+    com = (
+        jax.ops.segment_sum(pos, batch.group_idx, num_segments=g)
+        * batch.inv_count[:, None]
+    )
+    local = (x[batch.node_idx] - com[batch.group_idx]) * batch.member_mask[:, None]
+    m = mass[batch.node_idx] * batch.member_mask
+    outer = (
+        local[:, :, None] * batch.mat_coords[:, None, :] * m[:, None, None]
+    )  # Σ m·(x−com)(x₀−com₀)ᵀ
+    p = jax.ops.segment_sum(outer, batch.group_idx, num_segments=g)
+    return com, p
+
+
+def project_shape(
+    x: jax.Array,
+    mass: jax.Array,
+    quats: jax.Array,
+    batch: GroupBatch,
+    rotation_iterations: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Shape-matching projection (``ShapeMatchingConstraint.cpp:96-122``).
+
+    Returns ``(projected_member_positions f32[M,3], updated_quats f32[G,4])``.
+    The quaternion state is the reference's persistent ``_currentRotation``
+    warm start.
+    """
+    com, p = shape_group_moments(x, mass, batch)
+    f = _einsum("gij,gjk->gik", p, batch.qinv)
+    # Guard padded/degenerate groups: keep the identity-seeded quat stable.
+    safe_f = jnp.where(
+        batch.group_mask[:, None, None] > 0,
+        f,
+        jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), f.shape),
+    )
+    quats = math3d.extract_rotation(safe_f, quats, rotation_iterations)
+    r = math3d.quat_to_mat(quats)
+    rg = r[batch.group_idx]  # [M,3,3]
+    projected = (
+        _einsum("mij,mj->mi", rg, batch.mat_coords) + com[batch.group_idx]
+    )
+    return projected, quats
+
+
+def project_goal(batch: GroupBatch) -> jax.Array:
+    """Goal-matching projection (``ShapeMatchingConstraint.cpp:162-173``):
+    ``p = T · (mat, 1)`` with the per-group 4x4 transform updated by the host
+    (``updateFixedRegions``, ``PrimitiveUtilities.cpp:114-128``)."""
+    t = batch.transforms[batch.group_idx]  # [M,4,4]
+    rot = t[:, :3, :3]
+    trans = t[:, :3, 3]
+    return _einsum("mij,mj->mi", rot, batch.mat_coords) + trans

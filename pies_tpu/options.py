@@ -1,0 +1,173 @@
+"""Solver configuration.
+
+The reference folds every tunable into a single ``SolverOptions`` struct
+(``/root/reference/Include/Pies/Solver.h:23-38``).  A TPU-native design has to
+split the same surface into two halves:
+
+* **Static config** (:class:`StepConfig`): anything that changes the *shape or
+  structure* of the compiled XLA program — solver kind, iteration counts,
+  substeps, capacity budgets.  These are hashable and passed as
+  ``static_argnums`` to ``jax.jit``; changing them triggers a recompile, which
+  mirrors the reference re-running its precomputation when topology changes
+  (``Solver.cpp:168-221``).
+
+* **Dynamic params** (:class:`PhysicsParams`): plain floats that become scalar
+  operands of the compiled program — gravity, damping, friction, timestep...
+  These can be retuned every tick without recompiling (the reference re-reads
+  them from ``_options`` each tick).
+
+:class:`SolverOptions` mirrors the reference's public struct field-for-field so
+a Pies user can port a scene setup unchanged, and maps into the two halves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+class SolverName(enum.Enum):
+    """Mirrors ``Pies::SolverName`` (``Solver.h:21``)."""
+
+    PBD = "pbd"
+    PD = "pd"
+
+
+@dataclass(frozen=True)
+class SolverOptions:
+    """Field-for-field mirror of ``Pies::SolverOptions`` (``Solver.h:23-38``).
+
+    Defaults are identical to the reference.  ``thread_count`` is accepted for
+    API parity but has no effect: all parallelism lives inside one XLA program
+    (replacing the ``std::thread`` fan-out at ``Solver.cpp:558-566,838-846``).
+    """
+
+    fixed_timestep_size: float = 0.012
+    time_substeps: int = 1
+    iterations: int = 4
+    collision_stabilization_iterations: int = 4
+    collision_threshold_distance: float = 0.1
+    collision_thickness: float = 0.05
+    gravity: float = 10.0
+    damping: float = 0.006
+    friction: float = 0.01
+    static_friction_threshold: float = 0.0
+    floor_height: float = 0.0
+    grid_spacing: float = 2.0
+    thread_count: int = 8  # accepted for parity; unused on TPU
+    solver: SolverName = SolverName.PD
+
+
+@dataclass(frozen=True)
+class CollisionBudget:
+    """Static capacity budgets for the fixed-shape collision pipeline.
+
+    The reference grows ``std::vector``s dynamically and only latches
+    ``_simFailed`` when bucket counts explode (>1000 buckets per tri or >1000
+    entries per bucket, ``Solver.cpp:741-755``).  Under XLA every buffer is
+    static, so each stage has an explicit capacity; overflowing any of them
+    sets the same sim-failed latch (see ``state.SolverState.sim_failed``).
+    """
+
+    # Max grid cells a swept triangle AABB may cover (reference caps the
+    # per-axis range at 20 cells, Solver.cpp:672; total cells 20^3 is not
+    # representable statically — budget the common case and latch overflow).
+    max_cells_per_tri: int = 32
+    # Max entries scanned per grid cell (reference latches at 1000/bucket).
+    max_entries_per_cell: int = 16
+    # Candidate triangles gathered per query triangle.
+    max_candidates_per_tri: int = 32
+    # Fixed capacity of the per-substep point-triangle contact buffer; the
+    # host sizes this from the scene's triangle count.
+    max_point_tri_contacts: int = 256
+    # Node-node broadphase (PBD path): neighbor candidates per node.
+    max_candidates_per_node: int = 32
+    max_cells_per_node: int = 27
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Hashable static half of the configuration (jit-static)."""
+
+    solver: SolverName = SolverName.PD
+    time_substeps: int = 1
+    iterations: int = 4
+    collision_stabilization_iterations: int = 4
+    # Conjugate-gradient iterations for the PD global step.  The reference
+    # solves exactly with a prefactored sparse Cholesky (Solver.cpp:212-215);
+    # matrix-free Jacobi-PCG replaces it (SURVEY §2.7 item 6).  24 iterations
+    # reach well below float32 constraint-residual noise on the canonical
+    # scenes; fidelity tests crank this up and compare against a dense solve.
+    cg_iterations: int = 24
+    # Müller rotation-extraction iterations for shape matching.  The reference
+    # runs up to 100 with an early break (ShapeMatchingConstraint.cpp:79-93);
+    # the iteration is a no-op after convergence so a fixed count is exact.
+    rotation_iterations: int = 20
+    # Enable the node-node / point-triangle collision pipelines (broadphase +
+    # narrowphase).  Scenes without self-collision skip the sort entirely.
+    enable_collisions: bool = True
+    # Reproduce reference quirks bit-for-bit (see FIDELITY.md):
+    #  * static floor constraint projects to y=0 regardless of floor_height
+    #    (CollisionConstraint.cpp:452-454 vs detection at Solver.cpp:831)
+    #  * triangle broadphase computes cell ranges in world units, ignoring
+    #    grid_spacing (Solver.cpp:659-670)
+    reference_quirks: bool = True
+    budget: CollisionBudget = CollisionBudget()
+    dtype: str = "float32"
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PhysicsParams:
+    """Dynamic (traced) scalar parameters of a step; a small pytree.
+
+    One-to-one with the float fields of ``SolverOptions``.
+    """
+
+    dt: jax.Array  # fixed_timestep_size / time_substeps (Solver.cpp:41-42,165)
+    gravity: jax.Array
+    damping: jax.Array
+    friction: jax.Array
+    static_friction_threshold: jax.Array
+    floor_height: jax.Array
+    collision_threshold_distance: jax.Array
+    collision_thickness: jax.Array
+    grid_spacing: jax.Array
+    # PBD-only public toggle gating position-constraint projection
+    # (Solver.h:52, Solver.cpp:59-63). 1.0 = hinge released (skip pins).
+    release_hinge: jax.Array
+
+
+def split_options(options: SolverOptions, **config_overrides) -> tuple[StepConfig, PhysicsParams]:
+    """Map the reference-shaped options onto (static, dynamic) halves."""
+    config = StepConfig(
+        solver=options.solver,
+        time_substeps=int(options.time_substeps),
+        iterations=int(options.iterations),
+        collision_stabilization_iterations=int(
+            options.collision_stabilization_iterations
+        ),
+        **config_overrides,
+    )
+    params = make_params(options)
+    return config, params
+
+
+def make_params(options: SolverOptions, release_hinge: bool = False) -> PhysicsParams:
+    f32 = jnp.float32
+    return PhysicsParams(
+        dt=f32(options.fixed_timestep_size / max(1, options.time_substeps)),
+        gravity=f32(options.gravity),
+        damping=f32(options.damping),
+        friction=f32(options.friction),
+        static_friction_threshold=f32(options.static_friction_threshold),
+        floor_height=f32(options.floor_height),
+        collision_threshold_distance=f32(options.collision_threshold_distance),
+        collision_thickness=f32(options.collision_thickness),
+        grid_spacing=f32(options.grid_spacing),
+        release_hinge=f32(1.0 if release_hinge else 0.0),
+    )

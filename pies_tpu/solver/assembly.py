@@ -1,0 +1,230 @@
+"""Global-system assembly for the Projective-Dynamics solver.
+
+The reference assembles an N x N sparse matrix (per-node scalar system solved
+with 3 right-hand sides at once, ``Solver.cpp:174-220,356``) and prefactors it
+with ``Eigen::SimplicialLLT`` — re-factorizing every substep once collision
+constraints enter (``Solver.cpp:242-262``).  The TPU-native replacement is
+matrix-free: the operator
+
+    ``y = (M/h²)·x + Σ_constraints w·AᵀA·x``
+
+is a sum of gather → tiny-matmul → scatter passes, applied inside a
+Jacobi-preconditioned conjugate-gradient loop that stays resident in HBM.
+Collision constraints simply contribute extra terms to the operator and the
+preconditioner diagonal — no re-factorization, which is the structural win
+over the reference (SURVEY §2.7 item 6).
+
+All scatters use ``jnp``'s ``.at[].add``; XLA's TPU scatter-add is
+deterministic, so trajectories are bit-reproducible run-to-run (unlike the
+reference's thread-order-dependent accumulation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.precision import einsum as _einsum
+
+from ..collision.batches import (
+    ATA_DIFF4,
+    W_POINT_TRI,
+    W_STATIC,
+    CollisionSet,
+    project_point_tri,
+    project_static,
+)
+from ..constraints import projections as proj
+from ..topology import Topology
+
+
+class LocalStep(NamedTuple):
+    """All projected auxiliary configurations for one PD iteration."""
+
+    distance: jax.Array  # [Cd, 2, 3]
+    position: jax.Array  # [Cp, 3]
+    strain: jax.Array  # [Cs, 4, 3]
+    volume: jax.Array  # [Cv, 4, 3]
+    bend: jax.Array  # [Cb, 4, 3]
+    shape: jax.Array  # [Ms, 3] per-member
+    goal: jax.Array  # [Mg, 3] per-member
+    point_tri: jax.Array  # [K, 4, 3]
+    static: jax.Array  # [S, 3]
+    quats: jax.Array  # [G, 4] updated shape-matching rotations
+
+
+def local_step(
+    x: jax.Array,
+    inv_mass: jax.Array,
+    mass: jax.Array,
+    quats: jax.Array,
+    topo: Topology,
+    colls: CollisionSet,
+    thickness: jax.Array,
+    floor_height: jax.Array,
+    rotation_iterations: int,
+    reference_quirks: bool,
+) -> LocalStep:
+    """Project every constraint type onto its manifold from the *same*
+    positions — exactly the reference's local step, which reads node state
+    without mutating it (``Solver.cpp:270-308``)."""
+    shape_p, quats = proj.project_shape(
+        x, mass, quats, topo.shape, rotation_iterations
+    )
+    return LocalStep(
+        distance=proj.project_distance(x, topo.distance),
+        position=proj.project_position(topo.position),
+        strain=proj.project_strain(x, topo.strain),
+        volume=proj.project_volume(x, topo.volume),
+        bend=proj.project_bend(x, inv_mass, topo.bend),
+        shape=shape_p,
+        goal=proj.project_goal(topo.goal),
+        point_tri=project_point_tri(x, colls.pt_idx, thickness),
+        static=project_static(x, colls.static_idx, floor_height, reference_quirks),
+        quats=quats,
+    )
+
+
+def assemble_force(
+    msn_h2: jax.Array,
+    local: LocalStep,
+    topo: Topology,
+    colls: CollisionSet,
+) -> jax.Array:
+    """Global force vector: ``b = M·sₙ/h² + Σ w·AᵀB·p``
+    (``Solver.cpp:266,310-349``)."""
+    f = msn_h2
+
+    # Distance: AᵀB = A = [[.5,-.5],[-.5,.5]] (Constraints.cpp:42-47).
+    d = topo.distance
+    half = 0.5 * d.w[:, None] * (local.distance[:, 0] - local.distance[:, 1])
+    f = f.at[d.idx[:, 0]].add(half)
+    f = f.at[d.idx[:, 1]].add(-half)
+
+    # Position: AᵀB = I (Constraints.cpp:70-71).
+    p = topo.position
+    f = f.at[p.idx].add(p.w[:, None] * local.position)
+
+    # Tets: Aᵀ p = Gᵀ · p[1:4] (B = I, rows 1..3 of p are F̂'s columns).
+    for batch, pl in ((topo.strain, local.strain), (topo.volume, local.volume)):
+        contrib = _einsum("cja,cjd->cad", batch.g, pl[:, 1:4, :])
+        f = f.at[batch.idx].add(batch.w[:, None, None] * contrib)
+
+    # Bend: AᵀB = I₄ (Constraints.cpp:390-391).
+    b = topo.bend
+    f = f.at[b.idx].add(b.w[:, None, None] * local.bend)
+
+    # Shape / goal matching: A = B = I per member
+    # (ShapeMatchingConstraint.cpp:58-71,147-160).
+    for grp, pl in ((topo.shape, local.shape), (topo.goal, local.goal)):
+        wm = grp.w[grp.group_idx] * grp.member_mask
+        f = f.at[grp.node_idx].add(wm[:, None] * pl)
+
+    # Point-triangle collisions: AᵀB·p = AᵀA·p (A = B,
+    # CollisionConstraint.cpp:176-194).
+    ata = jnp.asarray(ATA_DIFF4, dtype=f.dtype)
+    contrib = _einsum("ab,kbd->kad", ata, local.point_tri)
+    wk = W_POINT_TRI * colls.pt_mask
+    f = f.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+
+    # Static floor collisions (CollisionConstraint.cpp:457-463).
+    ws = W_STATIC * colls.static_mask
+    f = f.at[colls.static_idx].add(ws[:, None] * local.static)
+    return f
+
+
+def apply_system(
+    x: jax.Array,
+    mass_over_h2: jax.Array,
+    topo: Topology,
+    colls: CollisionSet,
+) -> jax.Array:
+    """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
+    y = mass_over_h2[:, None] * x
+
+    d = topo.distance
+    xa = x[d.idx[:, 0]]
+    xb = x[d.idx[:, 1]]
+    half = 0.5 * d.w[:, None] * (xa - xb)  # AᵀA = A for the distance energy
+    y = y.at[d.idx[:, 0]].add(half)
+    y = y.at[d.idx[:, 1]].add(-half)
+
+    p = topo.position
+    y = y.at[p.idx].add(p.w[:, None] * x[p.idx])
+
+    for batch in (topo.strain, topo.volume):
+        xg = x[batch.idx]  # [C,4,3]
+        e = _einsum("cja,cad->cjd", batch.g, xg)  # G x
+        contrib = _einsum("cja,cjd->cad", batch.g, e)  # Gᵀ (G x)
+        y = y.at[batch.idx].add(batch.w[:, None, None] * contrib)
+
+    b = topo.bend
+    y = y.at[b.idx].add(b.w[:, None, None] * x[b.idx])
+
+    for grp in (topo.shape, topo.goal):
+        wm = grp.w[grp.group_idx] * grp.member_mask
+        y = y.at[grp.node_idx].add(wm[:, None] * x[grp.node_idx])
+
+    ata = jnp.asarray(ATA_DIFF4, dtype=x.dtype)
+    xg = x[colls.pt_idx]
+    contrib = _einsum("ab,kbd->kad", ata, xg)
+    wk = W_POINT_TRI * colls.pt_mask
+    y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+
+    ws = W_STATIC * colls.static_mask
+    y = y.at[colls.static_idx].add(ws[:, None] * x[colls.static_idx])
+    return y
+
+
+def system_diag(
+    mass_over_h2: jax.Array, topo: Topology, colls: CollisionSet
+) -> jax.Array:
+    """Jacobi preconditioner: the assembled diagonal of the PD system,
+    including this substep's collision contributions
+    (``Solver.cpp:179-210,242-259``)."""
+    diag = mass_over_h2 + topo.stiffness_diag
+    ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=diag.dtype)  # [4]
+    wk = W_POINT_TRI * colls.pt_mask
+    diag = diag.at[colls.pt_idx].add(wk[:, None] * ata_d[None, :])
+    diag = diag.at[colls.static_idx].add(W_STATIC * colls.static_mask)
+    return diag
+
+
+def pcg_solve(
+    matvec,
+    b: jax.Array,
+    x0: jax.Array,
+    diag: jax.Array,
+    iterations: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Jacobi-preconditioned CG on the stacked 3-RHS system.
+
+    The three axes share one Krylov space (inner products reduce over both
+    axes), matching the reference's simultaneous 3-column solve
+    (``Solver.cpp:356``).  Fixed trip count keeps the program static; the
+    returned residual norm feeds the observability counters (SURVEY §5).
+    """
+    inv_diag = (1.0 / diag)[:, None]
+
+    r = b - matvec(x0)
+    z = inv_diag * r
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        ap = matvec(p)
+        p_ap = jnp.sum(p * ap)
+        alpha = jnp.where(p_ap > 0, rz / jnp.maximum(p_ap, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r, p, rz))
+    return x, jnp.sqrt(jnp.sum(r * r))

@@ -1,0 +1,210 @@
+"""Projective-Dynamics solver — one fused XLA program per tick.
+
+Transcribes the *semantics* of ``Solver::tickPD`` (``Solver.cpp:162-486``)
+into a TPU-native structure:
+
+* the lazy sparse-matrix build + ``SimplicialLLT`` prefactorization
+  (``Solver.cpp:168-221``) disappears — the system is applied matrix-free and
+  preconditioned by its assembled diagonal (see :mod:`assembly`);
+* the per-substep collision re-factorization (``Solver.cpp:242-262``) becomes
+  "feed this substep's collision batch into the operator";
+* the ``iterations x`` local/global loop (``Solver.cpp:264-365``) is a
+  ``fori_loop`` whose global step is Jacobi-PCG warm-started from the current
+  positions;
+* stabilization, velocity and friction passes (``Solver.cpp:367-484``) are
+  masked vector updates with deterministic scatter-adds.
+
+The whole tick — all substeps — runs as one compiled program with no host
+round-trips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..collision.batches import CollisionSet, detect_floor_contacts, stabilize_point_tri
+from ..options import PhysicsParams, StepConfig
+from ..state import SolverState
+from ..topology import Topology
+from . import assembly
+
+
+def pd_substep(
+    state: SolverState,
+    topo: Topology,
+    params: PhysicsParams,
+    config: StepConfig,
+    detect_collisions,
+) -> tuple[SolverState, jax.Array]:
+    """One PD substep. Returns ``(state, cg_residual)``."""
+    h = params.dt
+    h2 = h * h
+    mask = state.node_mask[:, None]
+
+    # Inertia estimate: sₙ = q + h·v; Msₙ/h² (Solver.cpp:229-238).
+    x = state.positions + h * state.velocities * mask
+    msn_h2 = x * (state.mass / h2)[:, None]
+    prev = state.prev_positions
+
+    # Collision detection for this substep (Solver.cpp:240).
+    colls: CollisionSet = detect_collisions(state, x, topo, params, config)
+
+    mass_over_h2 = state.mass / h2
+    diag = assembly.system_diag(mass_over_h2, topo, colls)
+    matvec = partial(
+        assembly.apply_system, mass_over_h2=mass_over_h2, topo=topo, colls=colls
+    )
+
+    def iteration(_, carry):
+        x, quats, residual, _ = carry
+        local = assembly.local_step(
+            x,
+            state.inv_mass,
+            state.mass,
+            quats,
+            topo,
+            colls,
+            params.collision_thickness,
+            params.floor_height,
+            config.rotation_iterations,
+            config.reference_quirks,
+        )
+        force = assembly.assemble_force(msn_h2, local, topo, colls)
+        x_new, residual = assembly.pcg_solve(
+            lambda v: matvec(v), force, x, diag, config.cg_iterations
+        )
+        # Padded nodes solve exactly to their park position; re-select to
+        # remove CG truncation noise.
+        x_new = jnp.where(mask > 0, x_new, x)
+        return x_new, local.quats, residual, local.static
+
+    static_proj0 = jnp.zeros(
+        (colls.static_idx.shape[0], 3), dtype=x.dtype
+    )
+    x, quats, residual, static_proj = jax.lax.fori_loop(
+        0,
+        config.iterations,
+        iteration,
+        (x, state.shape_quats, jnp.asarray(0.0, x.dtype), static_proj0),
+    )
+    # ``static_proj`` is the final local step's static projection — the
+    # reference's stabilization snaps to this stale ``projectedPosition``
+    # (computed before the last global solve, Solver.cpp:306-308,379-382).
+
+    def stabilize(_, carry):
+        x, prev = carry
+        x, prev = stabilize_point_tri(
+            x,
+            prev,
+            state.inv_mass,
+            colls.pt_idx,
+            colls.pt_mask,
+            params.collision_thickness,
+        )
+        # Hard snap for floor contacts (Solver.cpp:379-382).
+        snap = colls.static_mask[:, None] > 0
+        x = x.at[colls.static_idx].set(
+            jnp.where(snap, static_proj, x[colls.static_idx])
+        )
+        return x, prev
+
+    x, prev = jax.lax.fori_loop(
+        0, config.collision_stabilization_iterations, stabilize, (x, prev)
+    )
+
+    # Velocity update (Solver.cpp:386-395).
+    vel = (
+        (1.0 - params.damping) * (x - prev) / h
+        + h * state.forces * state.inv_mass[:, None]
+    ) * mask
+
+    vel = _point_tri_friction(x, vel, state.inv_mass, colls, params)
+    vel = _static_floor_friction(vel, colls, params, state.capacity)
+
+    new_state = replace(
+        state,
+        positions=x,
+        prev_positions=x,
+        velocities=vel,
+        shape_quats=quats,
+    )
+    failed = jnp.logical_or(
+        colls.overflow, ~jnp.all(jnp.isfinite(x))
+    )
+    new_state = replace(
+        new_state, sim_failed=jnp.logical_or(state.sim_failed, failed)
+    )
+    return new_state, residual
+
+
+def _point_tri_friction(
+    x: jax.Array,
+    vel: jax.Array,
+    inv_mass: jax.Array,
+    colls: CollisionSet,
+    params: PhysicsParams,
+) -> jax.Array:
+    """Point-triangle friction + restitution pass (``Solver.cpp:431-471``),
+    Jacobi-accumulated instead of sequential in-place."""
+    idx = colls.pt_idx
+    p = x[idx]
+    v = vel[idx]
+    im = inv_mass[idx]
+
+    avg_tri_vel = (v[:, 1] + v[:, 2] + v[:, 3]) / 3.0
+    n = jnp.cross(p[:, 2] - p[:, 1], p[:, 3] - p[:, 1])
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    rel = v[:, 0] - avg_tri_vel
+    v_dot_n = jnp.sum(rel * n, axis=-1)
+    perp = rel - v_dot_n[:, None] * n
+
+    friction = jnp.where(
+        jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold,
+        1.0,
+        params.friction,
+    )
+    tri_w = im[:, 1] + im[:, 2] + im[:, 3]
+    w_sum = jnp.maximum(im[:, 0] + tri_w, 1e-20)
+    dv = (
+        -friction[:, None] * perp
+        - 1.1 * jnp.minimum(v_dot_n, 0.0)[:, None] * n
+    ) * colls.pt_mask[:, None]
+
+    delta = jnp.zeros_like(vel)
+    delta = delta.at[idx[:, 0]].add(dv * (im[:, 0] / w_sum)[:, None])
+    share = -dv * (tri_w / w_sum)[:, None]
+    delta = delta.at[idx[:, 1]].add(share)
+    delta = delta.at[idx[:, 2]].add(share)
+    delta = delta.at[idx[:, 3]].add(share)
+    return vel + delta
+
+
+def _static_floor_friction(
+    vel: jax.Array,
+    colls: CollisionSet,
+    params: PhysicsParams,
+    num_nodes: int,
+) -> jax.Array:
+    """Floor friction pass (``Solver.cpp:473-484``).
+
+    The reference applies one ``v_xz *= (1−f)`` per static-collision entry,
+    sequentially; a node hit by k entries decays by ``(1−f)^k``.  The closed
+    form reproduces that, evaluating the static-friction threshold at the
+    pre-pass velocity (divergence from mid-sequence threshold crossings is
+    documented in FIDELITY.md).
+    """
+    counts = jax.ops.segment_sum(
+        colls.static_mask, colls.static_idx, num_segments=num_nodes
+    )
+    perp = vel.at[:, 1].set(0.0)
+    static = jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold
+    factor = jnp.where(
+        static, jnp.zeros_like(counts), (1.0 - params.friction) ** counts
+    )
+    factor = jnp.where(counts > 0, factor, 1.0)
+    scaled = vel * factor[:, None]
+    return vel.at[:, 0].set(scaled[:, 0]).at[:, 2].set(scaled[:, 2])

@@ -1,0 +1,153 @@
+"""Simulation state as a pytree of SoA device arrays.
+
+The reference keeps an AoS ``std::vector<Node>`` (``Node.h:8-20``: id,
+position, prevPosition, velocity, force, radius, invMass).  TPU-native state is
+structure-of-arrays with a static, padded particle count so every step compiles
+once and runs with fixed shapes:
+
+* ``positions / prev_positions / velocities / forces``: ``f32[N, 3]``
+* ``inv_mass / mass / radius``: ``f32[N]``
+* ``node_mask``: ``f32[N]`` — 1 for live particles, 0 for padding
+* ``shape_quats``: ``f32[G, 4]`` — persistent per-shape-matching-group rotation
+  estimate (the reference's ``_currentRotation`` warm start,
+  ``ShapeMatchingConstraint.h:33``); it is *simulation state*, not topology.
+* ``sim_failed``: ``bool[]`` — the ``_simFailed`` latch (``Solver.h:198``):
+  once set, stepping becomes a no-op (``Solver.cpp:26-28``).  Here it also
+  latches on padded-buffer overflow and non-finite positions.
+
+Padding policy: padded particles are parked on a line far outside any scene
+(one per broadphase cell so they can never overflow a cell bucket), with
+``inv_mass = 0`` and ``node_mask = 0``; every kernel multiplies its writes by
+the mask, so they stay exactly at the park position forever.
+
+Because the state is a pytree, checkpoint/resume (absent in the reference,
+SURVEY §5) is a free ``save``/``load`` of its leaves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PARK_BASE = 1.0e5  # world-space offset of the padding parking line
+PARK_PITCH = 64.0  # spacing between parked particles (>> any grid spacing)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SolverState:
+    positions: jax.Array  # f32[N, 3]
+    prev_positions: jax.Array  # f32[N, 3]
+    velocities: jax.Array  # f32[N, 3]
+    forces: jax.Array  # f32[N, 3]   (Node::force, Solver.cpp:224-226)
+    inv_mass: jax.Array  # f32[N]
+    mass: jax.Array  # f32[N]  (1/inv_mass for live nodes; PD diagonal)
+    radius: jax.Array  # f32[N]
+    node_mask: jax.Array  # f32[N]
+    shape_quats: jax.Array  # f32[G, 4]  (w, x, y, z) per shape-match group
+    sim_failed: jax.Array  # bool[]
+
+    @property
+    def capacity(self) -> int:
+        return self.positions.shape[-2]
+
+
+def park_positions(num_padded: int, offset: int = 0) -> np.ndarray:
+    """Distinct far-away positions for padded particles."""
+    idx = np.arange(num_padded, dtype=np.float32) + float(offset)
+    park = np.zeros((num_padded, 3), dtype=np.float32)
+    park[:, 0] = PARK_BASE + PARK_PITCH * idx
+    park[:, 1] = PARK_BASE
+    return park
+
+
+def make_state(
+    positions: np.ndarray,
+    *,
+    velocities: np.ndarray | None = None,
+    inv_mass: np.ndarray | None = None,
+    radius: np.ndarray | None = None,
+    capacity: int | None = None,
+    num_shape_groups: int = 0,
+    dtype=jnp.float32,
+) -> SolverState:
+    """Build a padded device state from host arrays.
+
+    ``capacity`` pads the particle count (default: round up to a multiple of
+    8 so float32 sublanes are full; scenes that will grow can over-allocate to
+    avoid recompiles, mirroring how the reference re-runs its precomputation
+    only when the node count changes, ``Solver.cpp:168``).
+    """
+    positions = np.asarray(positions, dtype=np.float32).reshape(-1, 3)
+    n = positions.shape[0]
+    if capacity is None:
+        capacity = max(8, -(-n // 8) * 8)
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < particle count {n}")
+    pad = capacity - n
+
+    if velocities is None:
+        velocities = np.zeros_like(positions)
+    if inv_mass is None:
+        inv_mass = np.ones(n, dtype=np.float32)
+    if radius is None:
+        radius = np.full(n, 0.5, dtype=np.float32)
+    velocities = np.asarray(velocities, dtype=np.float32).reshape(-1, 3)
+    inv_mass = np.asarray(inv_mass, dtype=np.float32).reshape(-1)
+    radius = np.asarray(radius, dtype=np.float32).reshape(-1)
+
+    pos_full = np.concatenate([positions, park_positions(pad)], axis=0)
+    vel_full = np.concatenate([velocities, np.zeros((pad, 3), np.float32)], axis=0)
+    inv_mass_full = np.concatenate([inv_mass, np.zeros(pad, np.float32)])
+    # Padded nodes get mass 1 so the PD system diagonal stays positive
+    # definite; their solution is exactly their park position.
+    with np.errstate(divide="ignore"):
+        mass_live = np.where(inv_mass > 0, 1.0 / np.maximum(inv_mass, 1e-30), 0.0)
+    mass_full = np.concatenate([mass_live.astype(np.float32), np.ones(pad, np.float32)])
+    radius_full = np.concatenate([radius, np.zeros(pad, np.float32)])
+    mask_full = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+
+    quats = np.zeros((max(num_shape_groups, 1), 4), dtype=np.float32)
+    quats[:, 0] = 1.0  # identity rotation (w, x, y, z)
+
+    as_dev = lambda x: jnp.asarray(x, dtype=dtype)
+    return SolverState(
+        positions=as_dev(pos_full),
+        prev_positions=as_dev(pos_full),
+        velocities=as_dev(vel_full),
+        forces=jnp.zeros((capacity, 3), dtype=dtype),
+        inv_mass=as_dev(inv_mass_full),
+        mass=as_dev(mass_full),
+        radius=as_dev(radius_full),
+        node_mask=as_dev(mask_full),
+        shape_quats=as_dev(quats),
+        sim_failed=jnp.asarray(False),
+    )
+
+
+def latch_failure(state: SolverState, failed_now: jax.Array) -> SolverState:
+    """Sticky ``_simFailed`` semantics (``Solver.cpp:852-856``)."""
+    return replace(state, sim_failed=jnp.logical_or(state.sim_failed, failed_now))
+
+
+def save_state(path: str, state: SolverState) -> None:
+    """Checkpoint: the state is a pytree, so this is a flat npz dump."""
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    np.savez(
+        path,
+        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+    )
+
+
+def load_state(path: str, like: SolverState) -> SolverState:
+    """Restore a checkpoint written by :func:`save_state`."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    new_leaves = [
+        jnp.asarray(data[f"leaf_{i}"], dtype=leaf.dtype)
+        for i, leaf in enumerate(leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,408 @@
+"""Constraint topology as typed, padded device batches.
+
+The reference stores one C++ object per constraint in per-type vectors on the
+``Solver`` (``Solver.h:157-163``) and loops over them (``Solver.cpp:264-349``).
+The TPU-native form is one *batch* per constraint type: index arrays plus
+per-constraint parameter arrays, padded to a static capacity with weight 0 so
+that every kernel is a fixed-shape gather → project → scatter.
+
+Everything here is built on the host in NumPy at scene-construction time (the
+reference's analogous precompute: ``createDistanceConstraint`` etc. in
+``Constraints.cpp:39-56,130-184,257-310``) and uploaded once.  The
+``Topology`` pytree is a *traced* argument of the compiled step — its shapes
+are static but its values are not, so e.g. goal-constraint transforms
+(``updateFixedRegions``, ``PrimitiveUtilities.cpp:114-128``) can be updated
+every frame without recompiling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = np.float32
+_I32 = np.int32
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, -(-n // m) * m)
+
+
+def _pad2(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
+    out = np.full((cap,) + a.shape[1:], fill, dtype=a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batch types
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DistanceBatch:
+    """``DistanceConstraint`` batch (``Constraints.h:147-157``).
+
+    ``A = B = [[.5,-.5],[-.5,.5]]`` so ``AᵀA = A`` (idempotent up to the 0.5
+    scale), which the PD operator exploits in closed form.
+    """
+
+    idx: jax.Array  # i32[C, 2]
+    rest: jax.Array  # f32[C]   rest length captured at creation
+    w: jax.Array  # f32[C]   constraint weight; 0 ⇒ padding
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PositionBatch:
+    """``PositionConstraint`` batch (``Constraints.h:159-169``); A = B = I₁."""
+
+    idx: jax.Array  # i32[C]
+    target: jax.Array  # f32[C, 3]  fixedPosition captured at creation
+    w: jax.Array  # f32[C]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TetBatch:
+    """Shared batch for ``TetrahedralConstraint`` (strain limiting) and
+    ``VolumeConstraint`` (``Constraints.h:171-213``).
+
+    ``g`` is the 3x4 matrix G with ``A = [0; G]`` mapping the four stacked
+    node coordinates to the deformation gradient per axis (the
+    ``diffToBary · worldToDiff`` product of ``Constraints.cpp:141-175``), so
+    ``AᵀA x = Gᵀ(G x)`` and ``Aᵀ B p = Gᵀ F̂ᵀ`` — no 4x4 matrices stored.
+    """
+
+    idx: jax.Array  # i32[C, 4]
+    qinv: jax.Array  # f32[C, 3, 3]  rest-shape inverse (edge-matrix inverse)
+    g: jax.Array  # f32[C, 3, 4]
+    lo: jax.Array  # f32[C]  minStrain (strain) / minOmega (volume)
+    hi: jax.Array  # f32[C]  maxStrain / maxOmega
+    w: jax.Array  # f32[C]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BendBatch:
+    """``BendConstraint`` batch (``Constraints.h:215-230``); A = B = I₄."""
+
+    idx: jax.Array  # i32[C, 4]  (x1, x2, x3, x4); (x2,x3) is the shared edge
+    rest_angle: jax.Array  # f32[C]
+    w: jax.Array  # f32[C]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GroupBatch:
+    """Flat ragged-group storage shared by ``ShapeMatchingConstraint`` and
+    ``GoalMatchingConstraint`` (``ShapeMatchingConstraint.h:15-60``).
+
+    Ragged node groups become a flat membership list plus ``segment_sum``
+    reductions keyed by ``group_idx`` — the deterministic TPU replacement for
+    the reference's per-group accumulation loops
+    (``ShapeMatchingConstraint.cpp:96-122``).
+    """
+
+    node_idx: jax.Array  # i32[M]   member -> node
+    group_idx: jax.Array  # i32[M]   member -> group
+    mat_coords: jax.Array  # f32[M,3] material coords (centered for shape,
+    #                                  raw initial positions for goal)
+    member_mask: jax.Array  # f32[M]
+    w: jax.Array  # f32[G]
+    group_mask: jax.Array  # f32[G]
+    inv_count: jax.Array  # f32[G]  1 / member count (COM weight)
+    qinv: jax.Array  # f32[G,3,3]  (shape only; identity for goal)
+    transforms: jax.Array  # f32[G,4,4] (goal only; identity for shape)
+
+    @property
+    def num_groups(self) -> int:
+        return self.w.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Topology:
+    distance: DistanceBatch
+    position: PositionBatch
+    strain: TetBatch
+    volume: TetBatch
+    bend: BendBatch
+    shape: GroupBatch
+    goal: GroupBatch
+    triangles: jax.Array  # i32[T, 3] surface triangles (collision + render)
+    tri_mask: jax.Array  # f32[T]
+    tets: jax.Array  # i32[K, 4] (kept for parity with Solver.h:155; unused
+    #                              at runtime, like the reference's tet hash)
+    tet_mask: jax.Array  # f32[K]
+    # Constant part of the PD system diagonal: Σ w·(AᵀA)ᵢᵢ over all static
+    # constraints, scattered per node (Solver.cpp:179-210 minus the mass term,
+    # which depends on the dynamic dt).
+    stiffness_diag: jax.Array  # f32[N]
+
+
+# ---------------------------------------------------------------------------
+# Host-side builders (NumPy, scene-construction time)
+# ---------------------------------------------------------------------------
+
+
+def build_distance(
+    idx: np.ndarray, positions: np.ndarray, w: np.ndarray, cap: int | None = None
+) -> DistanceBatch:
+    """Rest lengths from initial positions (``Constraints.cpp:49-55``)."""
+    idx = np.asarray(idx, dtype=_I32).reshape(-1, 2)
+    w = np.broadcast_to(np.asarray(w, dtype=_F32), (idx.shape[0],)).copy()
+    rest = np.linalg.norm(
+        positions[idx[:, 1]] - positions[idx[:, 0]], axis=-1
+    ).astype(_F32)
+    cap = cap or _round_up(idx.shape[0], 8)
+    return DistanceBatch(
+        idx=jnp.asarray(_pad2(idx, cap)),
+        rest=jnp.asarray(_pad2(rest, cap)),
+        w=jnp.asarray(_pad2(w, cap)),
+    )
+
+
+def build_position(
+    idx: np.ndarray, positions: np.ndarray, w: np.ndarray, cap: int | None = None
+) -> PositionBatch:
+    """Targets captured from initial positions (``Constraints.cpp:65-74``)."""
+    idx = np.asarray(idx, dtype=_I32).reshape(-1)
+    w = np.broadcast_to(np.asarray(w, dtype=_F32), (idx.shape[0],)).copy()
+    target = positions[idx].astype(_F32)
+    cap = cap or _round_up(idx.shape[0], 8)
+    return PositionBatch(
+        idx=jnp.asarray(_pad2(idx, cap)),
+        target=jnp.asarray(_pad2(target, cap)),
+        w=jnp.asarray(_pad2(w, cap)),
+    )
+
+
+def _tet_rest(idx: np.ndarray, positions: np.ndarray):
+    """Rest-shape matrices shared by strain/volume tets.
+
+    ``Q`` columns are the rest edges (``baryToDiff``, ``Constraints.cpp:151``);
+    ``G = Qinvᵀ · W`` with ``W = [[-1,1,0,0],[-1,0,1,0],[-1,0,0,1]]`` so that
+    per axis ``G · (x₁..x₄) = row of F`` (``Constraints.cpp:141-175``).
+    """
+    p = positions[idx]  # [C,4,3]
+    q = np.stack(
+        [p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1
+    ).astype(np.float64)  # [C,3,3] columns = edges
+    qinv = np.linalg.inv(q)
+    west = np.array(
+        [[-1, 1, 0, 0], [-1, 0, 1, 0], [-1, 0, 0, 1]], dtype=np.float64
+    )
+    g = np.einsum("cji,jk->cik", qinv, west)  # Qinvᵀ · W  -> [C,3,4]
+    return qinv.astype(_F32), g.astype(_F32)
+
+
+def build_tets(
+    idx: np.ndarray,
+    positions: np.ndarray,
+    w: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    cap: int | None = None,
+) -> TetBatch:
+    idx = np.asarray(idx, dtype=_I32).reshape(-1, 4)
+    n = idx.shape[0]
+    w = np.broadcast_to(np.asarray(w, dtype=_F32), (n,)).copy()
+    lo = np.broadcast_to(np.asarray(lo, dtype=_F32), (n,)).copy()
+    hi = np.broadcast_to(np.asarray(hi, dtype=_F32), (n,)).copy()
+    if n:
+        qinv, g = _tet_rest(idx, positions)
+    else:
+        qinv = np.zeros((0, 3, 3), _F32)
+        g = np.zeros((0, 3, 4), _F32)
+    cap = cap or _round_up(n, 8)
+    pad_qinv = _pad2(qinv, cap)
+    pad_g = _pad2(g, cap)
+    return TetBatch(
+        idx=jnp.asarray(_pad2(idx, cap)),
+        qinv=jnp.asarray(pad_qinv),
+        g=jnp.asarray(pad_g),
+        lo=jnp.asarray(_pad2(lo, cap)),
+        hi=jnp.asarray(_pad2(hi, cap)),
+        w=jnp.asarray(_pad2(w, cap)),
+    )
+
+
+def build_bend(
+    idx: np.ndarray, positions: np.ndarray, w: np.ndarray, cap: int | None = None
+) -> BendBatch:
+    """Rest dihedral angle from initial configuration (``Constraints.cpp:368-394``)."""
+    idx = np.asarray(idx, dtype=_I32).reshape(-1, 4)
+    n = idx.shape[0]
+    w = np.broadcast_to(np.asarray(w, dtype=_F32), (n,)).copy()
+    if n:
+        p = positions[idx].astype(np.float64)
+        p2, p3, p4 = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]
+        n1 = np.cross(p2, p3)
+        n2 = np.cross(p2, p4)
+        n1 /= np.maximum(np.linalg.norm(n1, axis=-1, keepdims=True), 1e-30)
+        n2 /= np.maximum(np.linalg.norm(n2, axis=-1, keepdims=True), 1e-30)
+        d = np.clip(np.sum(n1 * n2, axis=-1), -1.0, 1.0)
+        rest = np.arccos(d).astype(_F32)
+    else:
+        rest = np.zeros((0,), _F32)
+    cap = cap or _round_up(n, 8)
+    return BendBatch(
+        idx=jnp.asarray(_pad2(idx, cap)),
+        rest_angle=jnp.asarray(_pad2(rest, cap)),
+        w=jnp.asarray(_pad2(w, cap)),
+    )
+
+
+def build_groups(
+    groups: list[tuple[np.ndarray, np.ndarray]],  # [(node_ids, mat_coords)]
+    weights: np.ndarray,
+    inv_mass: np.ndarray,
+    *,
+    kind: str,  # "shape" | "goal"
+    member_cap: int | None = None,
+    group_cap: int | None = None,
+) -> GroupBatch:
+    """Flatten ragged shape/goal groups into segment-reduction form.
+
+    For ``kind="shape"`` this performs the constructor precompute of
+    ``ShapeMatchingConstraint`` (``ShapeMatchingConstraint.cpp:6-48``):
+    equal-weight COM of material coords, centering, and the mass-weighted
+    moment matrix ``Q = Σ m·(x₀−com₀)(x₀−com₀)ᵀ`` whose inverse seeds the
+    deformation gradient.  For ``kind="goal"`` the raw initial positions are
+    stored (``ShapeMatchingConstraint.cpp:124-137``).
+    """
+    num_groups = len(groups)
+    weights = np.broadcast_to(np.asarray(weights, dtype=_F32), (num_groups,)).copy()
+    node_idx, group_idx, mats = [], [], []
+    inv_counts = np.zeros(num_groups, dtype=_F32)
+    qinvs = np.tile(np.eye(3, dtype=_F32), (num_groups, 1, 1))
+    for gi, (ids, coords) in enumerate(groups):
+        ids = np.asarray(ids, dtype=_I32).reshape(-1)
+        coords = np.asarray(coords, dtype=np.float64).reshape(-1, 3)
+        count = ids.shape[0]
+        inv_counts[gi] = 1.0 / max(count, 1)
+        if kind == "shape":
+            com = coords.mean(axis=0)
+            local = coords - com
+            m = np.zeros(count)
+            im = np.asarray(inv_mass, dtype=np.float64)[ids]
+            m = np.where(im > 0, 1.0 / np.maximum(im, 1e-30), 0.0)
+            q = np.einsum("mi,mj,m->ij", local, local, m)
+            qinvs[gi] = np.linalg.inv(q).astype(_F32)
+            mats.append(local.astype(_F32))
+        else:
+            mats.append(coords.astype(_F32))
+        node_idx.append(ids)
+        group_idx.append(np.full(count, gi, dtype=_I32))
+
+    node_idx = np.concatenate(node_idx) if node_idx else np.zeros(0, _I32)
+    group_idx = np.concatenate(group_idx) if group_idx else np.zeros(0, _I32)
+    mats = np.concatenate(mats) if mats else np.zeros((0, 3), _F32)
+
+    m_cap = member_cap or _round_up(node_idx.shape[0], 8)
+    g_cap = group_cap or max(1, _round_up(num_groups, 1))
+    transforms = np.tile(np.eye(4, dtype=_F32), (g_cap, 1, 1))
+    return GroupBatch(
+        node_idx=jnp.asarray(_pad2(node_idx, m_cap)),
+        group_idx=jnp.asarray(_pad2(group_idx, m_cap, fill=max(0, g_cap - 1))),
+        mat_coords=jnp.asarray(_pad2(mats, m_cap)),
+        member_mask=jnp.asarray(
+            _pad2(np.ones(node_idx.shape[0], _F32), m_cap)
+        ),
+        w=jnp.asarray(_pad2(weights, g_cap)),
+        group_mask=jnp.asarray(_pad2(np.ones(num_groups, _F32), g_cap)),
+        inv_count=jnp.asarray(_pad2(inv_counts, g_cap, fill=1)),
+        qinv=jnp.asarray(_pad2(qinvs, g_cap)),
+        transforms=jnp.asarray(transforms),
+    )
+
+
+def empty_topology_like_fields(num_nodes: int):
+    """Empty (all-padding) batches for constraint types a scene doesn't use."""
+    zero3 = np.zeros((0, 3), _F32)
+    return dict(
+        distance=build_distance(np.zeros((0, 2), _I32), zero3, np.zeros(0, _F32)),
+        position=build_position(np.zeros(0, _I32), zero3, np.zeros(0, _F32)),
+        strain=build_tets(
+            np.zeros((0, 4), _I32), zero3, np.zeros(0, _F32), 0.8, 1.0
+        ),
+        volume=build_tets(
+            np.zeros((0, 4), _I32), zero3, np.zeros(0, _F32), 1.0, 1.0
+        ),
+        bend=build_bend(np.zeros((0, 4), _I32), zero3, np.zeros(0, _F32)),
+        shape=build_groups([], np.zeros(0, _F32), np.ones(num_nodes), kind="shape"),
+        goal=build_groups([], np.zeros(0, _F32), np.ones(num_nodes), kind="goal"),
+    )
+
+
+def assemble_topology(
+    num_nodes: int,
+    *,
+    triangles: np.ndarray | None = None,
+    tets: np.ndarray | None = None,
+    tri_cap: int | None = None,
+    **batches,
+) -> Topology:
+    """Combine built batches, fill in empties, and precompute the constant
+    stiffness diagonal + PBD projection counts."""
+    fields = empty_topology_like_fields(num_nodes)
+    fields.update(batches)
+
+    tris = (
+        np.asarray(triangles, dtype=_I32).reshape(-1, 3)
+        if triangles is not None
+        else np.zeros((0, 3), _I32)
+    )
+    tcap = tri_cap or _round_up(tris.shape[0], 8)
+    tetarr = (
+        np.asarray(tets, dtype=_I32).reshape(-1, 4)
+        if tets is not None
+        else np.zeros((0, 4), _I32)
+    )
+    kcap = _round_up(tetarr.shape[0], 8)
+
+    diag = np.zeros(num_nodes, dtype=np.float64)
+
+    d: DistanceBatch = fields["distance"]
+    di, dw = np.asarray(d.idx), np.asarray(d.w)
+    # Distance AᵀA = A has 0.5 on the diagonal (Constraints.cpp:42-47).
+    np.add.at(diag, di[:, 0], 0.5 * dw)
+    np.add.at(diag, di[:, 1], 0.5 * dw)
+
+    p: PositionBatch = fields["position"]
+    np.add.at(diag, np.asarray(p.idx), np.asarray(p.w))
+
+    for key in ("strain", "volume"):
+        t: TetBatch = fields[key]
+        ti, tw, tg = np.asarray(t.idx), np.asarray(t.w), np.asarray(t.g)
+        ata_diag = np.einsum("cji,cji->ci", tg, tg)  # (AᵀA)ᵢᵢ = Σⱼ G²ⱼᵢ
+        for k in range(4):
+            np.add.at(diag, ti[:, k], tw * ata_diag[:, k])
+
+    b: BendBatch = fields["bend"]
+    bi, bw = np.asarray(b.idx), np.asarray(b.w)
+    for k in range(4):  # A = I₄ (Constraints.cpp:390-391)
+        np.add.at(diag, bi[:, k], bw)
+
+    for key in ("shape", "goal"):
+        grp: GroupBatch = fields[key]
+        gw = np.asarray(grp.w)[np.asarray(grp.group_idx)] * np.asarray(
+            grp.member_mask
+        )
+        # A = B = I ⇒ +w on each member diagonal
+        # (ShapeMatchingConstraint.cpp:50-56,139-145)
+        np.add.at(diag, np.asarray(grp.node_idx), gw)
+
+    return Topology(
+        triangles=jnp.asarray(_pad2(tris, tcap)),
+        tri_mask=jnp.asarray(_pad2(np.ones(tris.shape[0], _F32), tcap)),
+        tets=jnp.asarray(_pad2(tetarr, kcap)),
+        tet_mask=jnp.asarray(_pad2(np.ones(tetarr.shape[0], _F32), kcap)),
+        stiffness_diag=jnp.asarray(diag.astype(_F32)),
+        **fields,
+    )
