@@ -1,0 +1,174 @@
+"""Tetrahedralization of closed triangle meshes (the tetgen-equivalent).
+
+The reference imports tet meshes through tetgen's constrained Delaunay
+pipeline (``PrimitiveUtilities.cpp:183-241``).  tetgen is an *external*
+dependency of the reference, not its code; the rebuild provides its own
+mesher: **body-centred lattice stuffing** — voxelize the interior by
+ray-parity tests against the input surface, emit six tets per interior cell,
+and extract the boundary faces.  This is the standard robust mesher for
+physics engines (quality is bounded, conformity is approximate at the voxel
+scale), runs at scene-build time only, and is implemented twice:
+
+* a native C++ implementation (``pies_tpu/native/tetmesh.cpp``) loaded via
+  ``ctypes`` — the production path, mirroring the reference's native
+  scene-build stage;
+* this NumPy fallback with identical output, used when the shared library
+  has not been built.
+
+Returns ``(points f32[P,3], tets i32[K,4], surface_tris i32[S,3])`` with
+surface triangles wound outward, matching the boundary-extraction contract
+of the reference import path (``PrimitiveUtilities.cpp:248-267``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..native import load as native_load
+
+
+def tetrahedralize(
+    vertices: np.ndarray,
+    tri_indices: np.ndarray,
+    resolution: int = 8,
+):
+    """Tet-mesh the volume enclosed by a closed triangle mesh.
+
+    ``resolution`` is the number of lattice cells across the bounding box's
+    longest axis.
+    """
+    vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+    tris = np.asarray(tri_indices, np.int32).reshape(-1, 3)
+
+    native = native_load.try_load()
+    if native is not None:
+        return native.tetrahedralize(vertices, tris, resolution)
+    return _tetrahedralize_numpy(vertices, tris, resolution)
+
+
+def _tetrahedralize_numpy(vertices, tris, resolution):
+    lo = vertices.min(axis=0)
+    hi = vertices.max(axis=0)
+    extent = hi - lo
+    h = float(extent.max()) / resolution
+    if h <= 0:
+        raise ValueError("degenerate mesh bounding box")
+    dims = np.maximum(np.ceil(extent / h).astype(int) + 1, 1)
+
+    # Cell centers.
+    cx, cy, cz = np.meshgrid(
+        *(lo[a] + (np.arange(dims[a]) + 0.5) * h for a in range(3)),
+        indexing="ij",
+    )
+    centers = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+    inside = points_in_mesh(centers, vertices, tris).reshape(tuple(dims))
+
+    return _stuff_cells(inside, lo, h)
+
+
+def _stuff_cells(inside: np.ndarray, lo, h):
+    """Emit six tets per interior cell on the (dims+1) corner lattice and
+    extract the boundary surface."""
+    dims = inside.shape
+    nx, ny, nz = dims[0] + 1, dims[1] + 1, dims[2] + 1
+    corner_id = np.arange(nx * ny * nz).reshape(nx, ny, nz)
+
+    ci, cj, ck = np.nonzero(inside)
+    if ci.size == 0:
+        raise ValueError("mesh interior is empty at this resolution")
+
+    def cid(di, dj, dk):
+        return corner_id[ci + di, cj + dj, ck + dk]
+
+    c000, c001 = cid(0, 0, 0), cid(0, 0, 1)
+    c010, c011 = cid(0, 1, 0), cid(0, 1, 1)
+    c100, c101 = cid(1, 0, 0), cid(1, 0, 1)
+    c110, c111 = cid(1, 1, 0), cid(1, 1, 1)
+    tet_list = [
+        (c000, c001, c011, c111),
+        (c000, c010, c011, c111),
+        (c000, c001, c101, c111),
+        (c000, c100, c101, c111),
+        (c000, c010, c110, c111),
+        (c000, c100, c110, c111),
+    ]
+    # Cell-major order (6 tets per cell) to match the native implementation
+    # exactly.
+    tets = np.stack(
+        [np.stack(t, axis=-1) for t in tet_list], axis=1
+    ).reshape(-1, 4).astype(np.int64)
+
+    # Compact vertex ids.
+    used, tets_c = np.unique(tets, return_inverse=True)
+    tets_c = tets_c.reshape(tets.shape).astype(np.int32)
+    gi, gj, gk = np.unravel_index(used, (nx, ny, nz))
+    points = (
+        np.stack([gi, gj, gk], axis=-1).astype(np.float32) * h
+        + np.asarray(lo, np.float32)
+    )
+
+    surface = _boundary_faces(tets_c, points)
+    return points, tets_c, surface
+
+
+def _boundary_faces(tets: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Faces belonging to exactly one tet, wound outward (the analog of the
+    reference's missing-neighbor test, ``PrimitiveUtilities.cpp:254-259``)."""
+    faces = np.concatenate(
+        [
+            tets[:, [0, 1, 2]],
+            tets[:, [0, 1, 3]],
+            tets[:, [0, 2, 3]],
+            tets[:, [1, 2, 3]],
+        ],
+        axis=0,
+    )
+    opposite = np.concatenate([tets[:, 3], tets[:, 2], tets[:, 1], tets[:, 0]])
+    key = np.sort(faces, axis=1)
+    _, inv, counts = np.unique(
+        key, axis=0, return_inverse=True, return_counts=True
+    )
+    boundary = counts[inv] == 1
+    faces = faces[boundary]
+    opposite = opposite[boundary]
+
+    # Outward winding: flip faces whose normal points toward the opposite
+    # (interior) vertex.
+    a, b, c = points[faces[:, 0]], points[faces[:, 1]], points[faces[:, 2]]
+    n = np.cross(b - a, c - a)
+    to_interior = points[opposite] - a
+    flip = np.sum(n * to_interior, axis=1) > 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return faces.astype(np.int32)
+
+
+def points_in_mesh(
+    points: np.ndarray, vertices: np.ndarray, tris: np.ndarray
+) -> np.ndarray:
+    """Ray-parity inside test: cast +z rays and count triangle crossings.
+
+    Vectorized over (points x triangles); adequate for scene-build-time
+    sizes.  Uses a deterministic tiny direction jitter to dodge edge-on
+    degeneracies.
+    """
+    p = points[:, None, :]  # [P,1,3]
+    a = vertices[tris[:, 0]][None]  # [1,T,3]
+    b = vertices[tris[:, 1]][None]
+    c = vertices[tris[:, 2]][None]
+
+    d = np.array([1e-4, 2e-4, 1.0], np.float64)
+    d /= np.linalg.norm(d)
+
+    e1 = (b - a).astype(np.float64)
+    e2 = (c - a).astype(np.float64)
+    tvec = (p - a).astype(np.float64)
+    pvec = np.cross(d, e2)
+    det = np.sum(e1 * pvec, axis=-1)
+    ok = np.abs(det) > 1e-12
+    inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    u = np.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = np.cross(tvec, e1)
+    v = np.sum(qvec * d, axis=-1) * inv_det
+    t = np.sum(e2 * qvec, axis=-1) * inv_det
+    hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
+    return (hit.sum(axis=1) % 2).astype(bool)

@@ -1,0 +1,412 @@
+"""Host-facing ``Solver`` — the drop-in analog of ``Pies::Solver``.
+
+Mirrors the reference's public surface (``Solver.h:40-116``): construction
+from ``SolverOptions``, ``tick``, ``clear``, the scene-building methods, the
+render-facing getters (``getVertices``/``getLines``/``getTriangles`` +
+``renderStateDirty``), and the ``releaseHinge`` toggle.  On top of that it
+adds what the reference lacks (SURVEY §5): checkpoint/resume, per-tick
+timing/residual metrics, and deterministic stepping.
+
+Architecture: scene methods mutate a host-side ``SceneBuilder`` (NumPy);
+the first tick after a topology change pads + uploads device batches and
+(re)compiles the step — the analog of the reference's lazy re-precompute on
+node-count change (``Solver.cpp:168-221``).  Every subsequent tick is one
+compiled XLA program launch with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import topology as topo_mod
+from ..options import (
+    CollisionBudget,
+    SolverName,
+    SolverOptions,
+    StepConfig,
+    make_params,
+)
+from ..scene.builder import SceneBuilder
+from ..state import SolverState, load_state, make_state, save_state
+from .step import tick as tick_fn
+
+_F32 = np.float32
+
+
+class Solver:
+    def __init__(
+        self,
+        options: SolverOptions | None = None,
+        *,
+        seed: int = 0,
+        cg_iterations: int = 24,
+        rotation_iterations: int = 20,
+        enable_collisions: bool = True,
+        reference_quirks: bool = True,
+        budget: CollisionBudget | None = None,
+        node_capacity: int | None = None,
+    ):
+        self._options = options or SolverOptions()
+        self._builder = SceneBuilder(seed=seed)
+        self._cg_iterations = cg_iterations
+        self._rotation_iterations = rotation_iterations
+        self._enable_collisions = enable_collisions
+        self._reference_quirks = reference_quirks
+        self._budget = budget
+        self._node_capacity = node_capacity
+
+        self._state: SolverState | None = None
+        self._topology = None
+        self._config: StepConfig | None = None
+        self._prepared_nodes = 0
+        self._dirty = True
+
+        self.render_state_dirty = True
+        self.release_hinge = False
+
+        # Observability (the reference has none, SURVEY §5).
+        self.last_residual: float = 0.0
+        self.last_tick_seconds: float = 0.0
+        self.ticks: int = 0
+
+    # ------------------------------------------------------------------
+    # scene construction (delegates to SceneBuilder)
+    # ------------------------------------------------------------------
+
+    def _scene(self, fn, *args, **kwargs):
+        out = fn(*args, **kwargs)
+        self._dirty = True
+        self.render_state_dirty = True
+        return out
+
+    def add_nodes(self, vertices):
+        return self._scene(self._builder.add_nodes, vertices)
+
+    def create_box(self, translation, scale, w):
+        return self._scene(self._builder.create_box, translation, scale, w)
+
+    def create_tet_box(
+        self, translation, scale, initial_velocity, w, mass, hinged=False
+    ):
+        return self._scene(
+            self._builder.create_tet_box,
+            translation,
+            scale,
+            initial_velocity,
+            w,
+            mass,
+            hinged,
+        )
+
+    def create_sheet(self, translation, scale, mass, w):
+        return self._scene(self._builder.create_sheet, translation, scale, mass, w)
+
+    def create_shape_matching_box(
+        self, translation, count_x, count_y, count_z, scale, initial_velocity, w
+    ):
+        return self._scene(
+            self._builder.create_shape_matching_box,
+            translation,
+            count_x,
+            count_y,
+            count_z,
+            scale,
+            initial_velocity,
+            w,
+        )
+
+    def create_shape_matching_sheet(self, translation, scale, initial_velocity, w):
+        return self._scene(
+            self._builder.create_shape_matching_sheet,
+            translation,
+            scale,
+            initial_velocity,
+            w,
+        )
+
+    def create_bend_sheet(self, translation, scale, w):
+        return self._scene(self._builder.create_bend_sheet, translation, scale, w)
+
+    def create_rope(self, start, end, num_nodes, w, **kwargs):
+        return self._scene(
+            self._builder.create_rope, start, end, num_nodes, w, **kwargs
+        )
+
+    def create_tet_soup(self, count, spacing, scale, w, **kwargs):
+        return self._scene(
+            self._builder.create_tet_soup, count, spacing, scale, w, **kwargs
+        )
+
+    def add_fixed_regions(self, region_matrices, w):
+        return self._scene(self._builder.add_fixed_regions, region_matrices, w)
+
+    def add_linked_regions(self, region_matrices, w):
+        return self._scene(self._builder.add_linked_regions, region_matrices, w)
+
+    def add_tri_mesh_volume(
+        self,
+        vertices,
+        tri_indices,
+        initial_velocity=(0.0, 0.0, 0.0),
+        density=1.0,
+        strain_stiffness=1000.0,
+        min_strain=0.8,
+        max_strain=1.0,
+        volume_stiffness=1000.0,
+        compression=1.0,
+        stretching=1.0,
+    ):
+        """Tetrahedralize a closed triangle mesh and add it as a soft body —
+        the ``addTriMeshVolume`` path (``PrimitiveUtilities.cpp:164-328``),
+        with the native tet mesher replacing tetgen."""
+        from ..scene.tetmesh import tetrahedralize
+
+        points, tets, surface = tetrahedralize(
+            np.asarray(vertices, _F32), np.asarray(tri_indices, np.int32)
+        )
+        b = self._builder
+        node_ids = b._emit_nodes(
+            points, velocity=initial_velocity, inv_mass=1.0 / density, radius=0.5
+        )
+        b._emit_tets(
+            node_ids[tets],
+            0.0,
+            strain=(min_strain, max_strain),
+            volume=(compression, stretching),
+            strain_w=strain_stiffness,
+            volume_w=volume_stiffness,
+        )
+        b.triangles.append(node_ids[surface])
+        self._dirty = True
+        self.render_state_dirty = True
+        return node_ids
+
+    def update_fixed_regions(self, region_matrices):
+        """Retarget goal constraints from updated region transforms
+        (``PrimitiveUtilities.cpp:114-128``); no recompilation — the
+        transforms are traced inputs."""
+        regions = self._builder.fixed_regions
+        if len(region_matrices) != len(regions):
+            raise ValueError(
+                f"expected {len(regions)} region matrices, got {len(region_matrices)}"
+            )
+        self._prepare()
+        transforms = np.array(self._topology.goal.transforms)  # mutable copy
+        for mat, (_, inv_initial, goal_idx) in zip(region_matrices, regions):
+            mat = np.asarray(mat, _F32).reshape(4, 4)
+            transforms[goal_idx] = mat @ inv_initial
+        self._topology = dataclasses.replace(
+            self._topology,
+            goal=dataclasses.replace(
+                self._topology.goal, transforms=jnp.asarray(transforms)
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    # stepping
+    # ------------------------------------------------------------------
+
+    def _prepare(self):
+        if not self._dirty:
+            return
+        b = self._builder
+        num_live = b.num_nodes
+        positions = b.all_positions()
+        inv_mass = b.all_inv_mass()
+        velocities = (
+            np.concatenate(b.velocities) if b.velocities else np.zeros((0, 3), _F32)
+        )
+        radius = np.concatenate(b.radius) if b.radius else np.zeros((0,), _F32)
+
+        new_state = make_state(
+            positions,
+            velocities=velocities,
+            inv_mass=inv_mass,
+            radius=radius,
+            capacity=self._node_capacity,
+            num_shape_groups=max(1, len(b.shape_groups)),
+        )
+        # Preserve live state across incremental scene additions, like the
+        # reference growing its node vector without resetting the sim.
+        if self._state is not None and self._prepared_nodes > 0:
+            k = min(self._prepared_nodes, num_live)
+            for field in ("positions", "prev_positions", "velocities"):
+                arr = np.asarray(getattr(new_state, field))
+                arr[:k] = np.asarray(getattr(self._state, field))[:k]
+                new_state = dataclasses.replace(
+                    new_state, **{field: jnp.asarray(arr)}
+                )
+        self._state = new_state
+        cap = self._state.capacity
+
+        def cat(lst, shape):
+            return np.concatenate(lst) if lst else np.zeros(shape, _F32)
+
+        dist_idx = cat(b.dist_idx, (0, 2)).astype(np.int32)
+        tris = cat(b.triangles, (0, 3)).astype(np.int32)
+        batches = dict(
+            distance=topo_mod.build_distance(
+                dist_idx, positions, cat(b.dist_w, (0,))
+            ),
+            position=topo_mod.build_position(
+                cat(b.pos_idx, (0,)).astype(np.int32), positions, cat(b.pos_w, (0,))
+            ),
+            strain=topo_mod.build_tets(
+                cat(b.strain_idx, (0, 4)).astype(np.int32),
+                positions,
+                cat(b.strain_w, (0,)),
+                cat(b.strain_lo, (0,)),
+                cat(b.strain_hi, (0,)),
+            ),
+            volume=topo_mod.build_tets(
+                cat(b.volume_idx, (0, 4)).astype(np.int32),
+                positions,
+                cat(b.volume_w, (0,)),
+                cat(b.volume_lo, (0,)),
+                cat(b.volume_hi, (0,)),
+            ),
+            bend=topo_mod.build_bend(
+                cat(b.bend_idx, (0, 4)).astype(np.int32),
+                positions,
+                cat(b.bend_w, (0,)),
+            ),
+            shape=topo_mod.build_groups(
+                [(ids, coords) for ids, coords, _ in b.shape_groups],
+                np.asarray([w for _, _, w in b.shape_groups], _F32),
+                inv_mass,
+                kind="shape",
+            ),
+            goal=topo_mod.build_groups(
+                [(ids, coords) for ids, coords, _ in b.goal_groups],
+                np.asarray([w for _, _, w in b.goal_groups], _F32),
+                inv_mass,
+                kind="goal",
+            ),
+        )
+        self._topology = topo_mod.assemble_topology(
+            cap,
+            triangles=tris,
+            tets=cat(b.tets, (0, 4)).astype(np.int32),
+            **batches,
+        )
+
+        budget = self._budget or CollisionBudget(
+            max_point_tri_contacts=max(256, 2 * tris.shape[0])
+        )
+        self._config = StepConfig(
+            solver=self._options.solver,
+            time_substeps=int(self._options.time_substeps),
+            iterations=int(self._options.iterations),
+            collision_stabilization_iterations=int(
+                self._options.collision_stabilization_iterations
+            ),
+            cg_iterations=self._cg_iterations,
+            rotation_iterations=self._rotation_iterations,
+            enable_collisions=self._enable_collisions,
+            reference_quirks=self._reference_quirks,
+            budget=budget,
+        )
+        self._prepared_nodes = num_live
+        self._dirty = False
+
+    def tick(self, delta_time: float = 0.0):
+        """Advance one tick.  Like the reference, the wall-clock argument is
+        ignored in favor of the fixed timestep (``Solver.cpp:40-42,165``)."""
+        self._prepare()
+        params = make_params(self._options, release_hinge=self.release_hinge)
+        t0 = time.perf_counter()
+        self._state, residual = tick_fn(
+            self._state, self._topology, params, self._config
+        )
+        self._state.positions.block_until_ready()
+        self.last_tick_seconds = time.perf_counter() - t0
+        self.last_residual = float(residual)
+        self.ticks += 1
+        self.render_state_dirty = True
+
+    @property
+    def sim_failed(self) -> bool:
+        if self._state is None:
+            return False
+        return bool(self._state.sim_failed)
+
+    @property
+    def state(self) -> SolverState:
+        self._prepare()
+        return self._state
+
+    @property
+    def topology(self):
+        self._prepare()
+        return self._topology
+
+    @property
+    def options(self) -> SolverOptions:
+        return self._options
+
+    def clear(self):
+        """Wipe the scene (``Solver::clear``, ``Solver.cpp:488-507``)."""
+        self._builder = SceneBuilder(seed=0)
+        self._state = None
+        self._topology = None
+        self._prepared_nodes = 0
+        self._dirty = True
+        self.render_state_dirty = True
+
+    # ------------------------------------------------------------------
+    # render-facing output (Solver.h:65-69)
+    # ------------------------------------------------------------------
+
+    def get_vertices(self) -> dict[str, np.ndarray]:
+        """Positions + radius + PBR material per node — the ``getVertices``
+        payload (``Solver.h:42-49,65``)."""
+        self._prepare()
+        n = self._prepared_nodes
+        b = self._builder
+        return {
+            "position": np.asarray(self._state.positions)[:n],
+            "radius": np.asarray(self._state.radius)[:n],
+            "base_color": np.concatenate(b.base_color)[:n]
+            if b.base_color
+            else np.zeros((0, 3), _F32),
+            "roughness": np.concatenate(b.roughness)[:n]
+            if b.roughness
+            else np.zeros((0,), _F32),
+            "metallic": np.concatenate(b.metallic)[:n]
+            if b.metallic
+            else np.zeros((0,), _F32),
+        }
+
+    def get_lines(self) -> np.ndarray:
+        """Wireframe index pairs over distance constraints (``Solver.h:67``)."""
+        b = self._builder
+        return (
+            np.concatenate(b.lines).reshape(-1)
+            if b.lines
+            else np.zeros(0, np.int32)
+        )
+
+    def get_triangles(self) -> np.ndarray:
+        b = self._builder
+        return (
+            np.concatenate(b.triangles)
+            if b.triangles
+            else np.zeros((0, 3), np.int32)
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (new capability; SURVEY §5 'worth adding')
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        self._prepare()
+        save_state(path, self._state)
+
+    def load(self, path: str):
+        self._prepare()
+        self._state = load_state(path, self._state)

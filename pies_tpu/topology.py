@@ -293,7 +293,12 @@ def build_groups(
             im = np.asarray(inv_mass, dtype=np.float64)[ids]
             m = np.where(im > 0, 1.0 / np.maximum(im, 1e-30), 0.0)
             q = np.einsum("mi,mj,m->ij", local, local, m)
-            qinvs[gi] = np.linalg.inv(q).astype(_F32)
+            # Pseudo-inverse: planar groups (e.g. the reference's own flat
+            # 50x50 shape-matching sheet, PrimitiveUtilities.cpp:1050-1125)
+            # have an exactly singular moment matrix, which the reference
+            # hands to Eigen's inverse() undefined; pinv degrades gracefully
+            # and equals inv() for full-rank groups.
+            qinvs[gi] = np.linalg.pinv(q).astype(_F32)
             mats.append(local.astype(_F32))
         else:
             mats.append(coords.astype(_F32))

@@ -1,0 +1,334 @@
+"""Integration tests: host Solver API, canonical scenes, PD global solve
+fidelity vs a dense oracle, determinism, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pies_tpu as pt
+from pies_tpu import Solver, topology as T
+from pies_tpu.options import SolverName, SolverOptions, StepConfig, make_params
+from pies_tpu.solver import assembly
+from pies_tpu.solver.step import tick
+from pies_tpu.collision.batches import empty_collision_set
+
+import oracle
+
+
+def settle(solver, n):
+    for _ in range(n):
+        solver.tick()
+
+
+class TestRope:
+    """BASELINE config 1: rope, fixed + distance constraints, PBD."""
+
+    def _solver(self, solver_name):
+        opts = SolverOptions(solver=solver_name)
+        s = Solver(opts, enable_collisions=False)
+        s.create_rope((0, 12.0, 0), (10, 12.0, 0), 32, w=1.0 if solver_name == SolverName.PBD else 5000.0)
+        return s
+
+    def test_pbd_rope_hangs(self):
+        s = self._solver(SolverName.PBD)
+        settle(s, 150)
+        p = s.get_vertices()["position"]
+        assert not s.sim_failed
+        # Pinned at start, free end sags below the pin.
+        np.testing.assert_allclose(p[0], [0, 12.0, 0], atol=1e-3)
+        assert p[-1, 1] < 7.0
+        # Segment lengths stay near rest (PBD satisfies constraints directly).
+        seg = np.linalg.norm(np.diff(p, axis=0), axis=1)
+        rest = 10.0 / 31
+        assert np.all(seg < rest * 1.6)
+
+    def test_pd_rope_hangs(self):
+        s = self._solver(SolverName.PD)
+        settle(s, 300)
+        p = s.get_vertices()["position"]
+        assert not s.sim_failed
+        np.testing.assert_allclose(p[0], [0, 12.0, 0], atol=0.15)
+        assert p[-1, 1] < 7.0
+
+    def test_determinism(self):
+        a = self._solver(SolverName.PD)
+        b = self._solver(SolverName.PD)
+        settle(a, 50)
+        settle(b, 50)
+        np.testing.assert_array_equal(
+            a.get_vertices()["position"], b.get_vertices()["position"]
+        )
+
+
+class TestSheet:
+    """BASELINE config 2: hanging cloth, PD with CG global step."""
+
+    def test_pd_sheet_sags(self):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_sheet((0.0, 8.0, 0.0), scale=1.0, mass=1.0, w=1000.0)
+        settle(s, 100)
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        # Border pinned near initial height, center sags below it.
+        border_y = p[0, 1]
+        center = p.reshape(20, 20, 3)[10, 10]
+        assert center[1] < border_y - 0.2
+        assert s.last_residual < 1e-2
+
+    def test_releasehinge_drops_sheet(self):
+        s = Solver(SolverOptions(solver=SolverName.PBD), enable_collisions=False)
+        s.create_sheet((0.0, 8.0, 0.0), scale=1.0, mass=1.0, w=1.0)
+        settle(s, 20)
+        held = s.get_vertices()["position"][:, 1].min()
+        s.release_hinge = True
+        settle(s, 100)
+        dropped = s.get_vertices()["position"][:, 1]
+        # Without pins the whole sheet falls (until the floor clamp at
+        # radius 0.5).
+        assert dropped.max() < held + 1e-3
+        assert dropped.min() <= 0.5 + 1e-3
+
+
+class TestTetBox:
+    def test_tetbox_drop_pd(self):
+        s = Solver(
+            SolverOptions(solver=SolverName.PD, iterations=4),
+            enable_collisions=False,
+        )
+        s.create_tet_box((0.0, 4.0, 0.0), 1.0, (0, 0, 0), w=1000.0, mass=1.0)
+        settle(s, 200)
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        # Box fell and rests near the floor (static contacts via triangles).
+        assert p[:, 1].min() > -1.0
+        assert p[:, 1].max() < 4.0
+        # Volume roughly preserved: edge lengths near scale.
+        tets = np.asarray(s.topology.tets)[np.asarray(s.topology.tet_mask) > 0]
+        e = p[tets[:, 1]] - p[tets[:, 0]]
+        vol_proxy = np.abs(e).mean()
+        assert 0.3 < vol_proxy < 2.0
+
+    def test_pbd_tetbox_quirk_vs_fixed(self):
+        # Quirk mode reproduces the reference's PBD tet projection (toward
+        # the origin); non-quirk recenters. Both must run without NaNs.
+        for quirks in (True, False):
+            s = Solver(
+                SolverOptions(solver=SolverName.PBD),
+                enable_collisions=False,
+                reference_quirks=quirks,
+            )
+            s.create_tet_box((0.0, 3.0, 0.0), 1.0, (0, 0, 0), w=0.1, mass=1.0)
+            settle(s, 30)
+            assert np.all(np.isfinite(s.get_vertices()["position"]))
+
+
+class TestShapeMatching:
+    def test_shape_box_falls_rigidly(self):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_shape_matching_box((0.0, 5.0, 0.0), 4, 4, 4, 0.5, (0, 0, 0), w=500.0)
+        settle(s, 120)
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        # Falls under gravity, keeps its shape: pairwise extents preserved.
+        ext = p.max(axis=0) - p.min(axis=0)
+        np.testing.assert_allclose(ext, [1.5, 1.5, 1.5], atol=0.2)
+        assert p[:, 1].mean() < 4.0
+
+    def test_shape_matching_sheet_builds(self):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_shape_matching_sheet((0, 3.0, 0), 0.2, (0, 0, 0), w=100.0)
+        settle(s, 5)
+        assert not s.sim_failed
+        # The reference's patch-id formula (i/pw*ph + j/ph,
+        # PrimitiveUtilities.cpp:1089) aliases distinct (i/3, j/3) pairs into
+        # 65 populated patches (its remaining 191 are empty constraints we
+        # skip); member assignment matches the reference exactly.
+        assert len(s._builder.shape_groups) == 65
+
+
+class TestGoalRegions:
+    def test_fixed_region_drives_nodes(self):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        ids = s.add_nodes(np.array([[0, 0, 0], [0.5, 0, 0], [5, 0, 0]], np.float32))
+        region = np.eye(4, dtype=np.float32)  # unit box at origin: first 2 nodes
+        s.add_fixed_regions([region], w=5000.0)
+        assert len(s._builder.goal_groups) == 1
+        assert s._builder.goal_groups[0][0].shape[0] == 2
+
+        # Drive the region upward; constrained nodes should follow.
+        moved = region.copy()
+        moved[1, 3] = 2.0
+        settle(s, 1)
+        s.update_fixed_regions([moved])
+        settle(s, 120)
+        p = s.get_vertices()["position"]
+        assert p[0, 1] > 1.5 and p[1, 1] > 1.5
+        assert p[2, 1] <= 0.5 + 1e-3  # free node fell to the floor
+
+
+class TestBendSheet:
+    def test_bend_sheet_runs(self):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_bend_sheet((0, 2.0, 0), 0.5, w=100.0)
+        settle(s, 60)
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        assert np.all(np.isfinite(p))
+        # Pinned columns stay put; the free edge curls downward.
+        gid = np.arange(100).reshape(10, 10)
+        assert p[gid[0, 0], 1] > 1.5
+        assert p[gid[9, 0], 1] < p[gid[0, 0], 1]
+
+
+class TestPDGlobalSolveFidelity:
+    """The matrix-free PCG must match a dense solve of the same system
+    (the oracle for Eigen's SimplicialLLT, Solver.cpp:212-215,356)."""
+
+    def test_cg_matches_dense(self):
+        rng = np.random.default_rng(0)
+        n = 24
+        pos = rng.standard_normal((n, 3)).astype(np.float32) * 2
+        pairs = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+        state = pt.make_state(pos, capacity=n)
+        topo = T.assemble_topology(
+            n,
+            distance=T.build_distance(pairs, pos, 500.0),
+            position=T.build_position(np.array([0, 5]), pos, 2000.0),
+        )
+        h = 0.012
+        colls = empty_collision_set()
+        mass_over_h2 = np.asarray(state.mass) / h**2
+
+        b = rng.standard_normal((n, 3)).astype(np.float32) * 10
+
+        x, res = assembly.pcg_solve(
+            lambda v: assembly.apply_system(
+                v, jnp.asarray(mass_over_h2), topo, colls
+            ),
+            jnp.asarray(b),
+            jnp.zeros((n, 3), jnp.float32),
+            assembly.system_diag(jnp.asarray(mass_over_h2), topo, colls),
+            iterations=100,
+        )
+
+        # Dense oracle.
+        contributions = []
+        di = np.asarray(topo.distance.idx)
+        dw = np.asarray(topo.distance.w)
+        a_dist = np.array([[0.5, -0.5], [-0.5, 0.5]])
+        for c in range(di.shape[0]):
+            if dw[c] > 0:
+                contributions.append((di[c], dw[c], a_dist))
+        pi = np.asarray(topo.position.idx)
+        pw = np.asarray(topo.position.w)
+        for c in range(pi.shape[0]):
+            if pw[c] > 0:
+                contributions.append(([pi[c]], pw[c], np.eye(1)))
+        m = oracle.dense_pd_matrix(n, np.asarray(state.mass), h, contributions)
+        want = np.linalg.solve(m, b.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(x), want, rtol=1e-4, atol=1e-4)
+
+    def test_cg_with_tets_matches_dense(self):
+        rng = np.random.default_rng(1)
+        n_tets = 6
+        n = n_tets * 4
+        pos = np.zeros((n, 3), np.float32)
+        idx = np.arange(n).reshape(n_tets, 4).astype(np.int32)
+        for t in range(n_tets):
+            base = rng.standard_normal(3)
+            pos[idx[t, 0]] = base
+            pos[idx[t, 1]] = base + [1, 0, 0]
+            pos[idx[t, 2]] = base + [0, 1, 0]
+            pos[idx[t, 3]] = base + [0, 0, 1]
+        state = pt.make_state(pos, capacity=n)
+        topo = T.assemble_topology(
+            n, strain=T.build_tets(idx, pos, 800.0, 0.8, 1.0)
+        )
+        h = 0.012
+        colls = empty_collision_set()
+        mass_over_h2 = np.asarray(state.mass) / h**2
+        b = rng.standard_normal((n, 3)).astype(np.float32) * 5
+
+        x, _ = assembly.pcg_solve(
+            lambda v: assembly.apply_system(
+                v, jnp.asarray(mass_over_h2), topo, colls
+            ),
+            jnp.asarray(b),
+            jnp.zeros((n, 3), jnp.float32),
+            assembly.system_diag(jnp.asarray(mass_over_h2), topo, colls),
+            iterations=120,
+        )
+        g = np.asarray(topo.strain.g)
+        contributions = []
+        for t in range(n_tets):
+            a4 = np.zeros((4, 4))
+            a4[1:4, :] = g[t]
+            contributions.append((idx[t], 800.0, a4.T @ a4))
+        m = oracle.dense_pd_matrix(n, np.asarray(state.mass), h, contributions)
+        want = np.linalg.solve(m, b.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4, atol=2e-4)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_rope((0, 8.0, 0), (5, 8.0, 0), 16, w=2000.0)
+        settle(s, 30)
+        path = str(tmp_path / "ckpt.npz")
+        s.save(path)
+        p_saved = s.get_vertices()["position"].copy()
+        settle(s, 30)
+        moved = s.get_vertices()["position"]
+        assert not np.allclose(p_saved, moved)
+        s.load(path)
+        np.testing.assert_array_equal(s.get_vertices()["position"], p_saved)
+        # Resuming from a checkpoint reproduces the same trajectory.
+        settle(s, 30)
+        np.testing.assert_array_equal(s.get_vertices()["position"], moved)
+
+
+class TestSimFailureLatch:
+    def test_nan_latches_and_freezes(self):
+        s = Solver(SolverOptions(solver=SolverName.PBD), enable_collisions=False)
+        ids = s.add_nodes(np.array([[0, 1, 0]], np.float32))
+        settle(s, 2)
+        # Poison the state with a NaN; the next tick must latch sim_failed
+        # and later ticks must no-op (Solver.cpp:26-28 semantics).
+        import dataclasses
+
+        bad = np.asarray(s.state.positions).copy()
+        bad[0, 0] = np.nan
+        s._state = dataclasses.replace(s._state, positions=jnp.asarray(bad))
+        s.tick()
+        assert s.sim_failed
+        frozen = np.asarray(s.state.velocities).copy()
+        s.tick()
+        np.testing.assert_array_equal(np.asarray(s.state.velocities), frozen)
+
+
+class TestRenderOutput:
+    def test_vertices_lines_triangles(self):
+        s = Solver(SolverOptions(), enable_collisions=False)
+        s.create_sheet((0, 1, 0), 1.0, 1.0, 100.0)
+        assert s.render_state_dirty
+        v = s.get_vertices()
+        assert v["position"].shape == (400, 3)
+        assert v["base_color"].shape == (400, 3)
+        lines = s.get_lines()
+        assert lines.size > 0 and lines.max() < 400
+        tris = s.get_triangles()
+        assert tris.shape[1] == 3 and tris.max() < 400
+        s.render_state_dirty = False
+        s.tick()
+        assert s.render_state_dirty  # tick marks render state dirty
+
+    def test_clear(self):
+        s = Solver(SolverOptions(), enable_collisions=False)
+        s.create_box((0, 1, 0), 1.0, 100.0)
+        settle(s, 2)
+        s.clear()
+        assert s._builder.num_nodes == 0
+        s.create_rope((0, 0, 0), (1, 0, 0), 4, 100.0)
+        settle(s, 2)
+        assert s.get_vertices()["position"].shape == (4, 3)

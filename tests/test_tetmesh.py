@@ -1,0 +1,98 @@
+"""Tetrahedralization tests: native C++ vs NumPy fallback, mesh import path."""
+
+import numpy as np
+import pytest
+
+from pies_tpu.scene import tetmesh
+from pies_tpu.native import load as native_load
+
+
+def icosphere(radius=1.0):
+    """A coarse closed sphere mesh (icosahedron)."""
+    phi = (1 + 5**0.5) / 2
+    v = np.array(
+        [
+            [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+            [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+            [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+        ],
+        np.float32,
+    )
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
+    f = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int32,
+    )
+    return v, f
+
+
+class TestPointsInMesh:
+    def test_sphere_interior(self):
+        v, f = icosphere(1.0)
+        pts = np.array(
+            [[0, 0, 0], [0.3, 0.2, 0.1], [2, 0, 0], [0, 1.5, 0]], np.float32
+        )
+        inside = tetmesh.points_in_mesh(pts, v, f)
+        assert list(inside) == [True, True, False, False]
+
+
+class TestTetrahedralize:
+    def test_sphere_numpy(self):
+        v, f = icosphere(1.0)
+        points, tets, surface = tetmesh._tetrahedralize_numpy(v, f, 6)
+        assert points.shape[1] == 3 and tets.shape[1] == 4
+        assert tets.shape[0] > 0 and surface.shape[0] > 0
+        assert tets.max() < points.shape[0]
+        # All tet centroids inside-ish the sphere.
+        cent = points[tets].mean(axis=1)
+        assert np.all(np.linalg.norm(cent, axis=1) < 1.3)
+        # Surface faces wound outward: normal · (centroid - origin) > 0.
+        a, b, c = points[surface[:, 0]], points[surface[:, 1]], points[surface[:, 2]]
+        n = np.cross(b - a, c - a)
+        fc = (a + b + c) / 3
+        outward = np.sum(n * fc, axis=1)
+        assert (outward > 0).mean() > 0.95
+        # Total tet volume approximates the voxelized ball volume.
+        e = points[tets[:, 1:]] - points[tets[:, 0]][:, None]
+        vol = np.abs(np.linalg.det(e)).sum() / 6
+        assert 2.0 < vol < 5.5  # sphere vol = 4.19
+
+    def test_native_matches_numpy(self):
+        native = native_load.try_load()
+        assert native is not None, "native library not built (run native/build.sh)"
+        v, f = icosphere(1.0)
+        p_n, t_n, s_n = native.tetrahedralize(v, f, 6)
+        p_py, t_py, s_py = tetmesh._tetrahedralize_numpy(v, f, 6)
+        np.testing.assert_allclose(p_n, p_py, atol=1e-5)
+        np.testing.assert_array_equal(t_n, t_py)
+        np.testing.assert_array_equal(
+            np.sort(np.sort(s_n, axis=1), axis=0),
+            np.sort(np.sort(s_py, axis=1), axis=0),
+        )
+
+    def test_add_tri_mesh_volume_end_to_end(self):
+        import jax
+        from pies_tpu import Solver
+        from pies_tpu.options import SolverName, SolverOptions
+
+        v, f = icosphere(1.0)
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.add_tri_mesh_volume(
+            v + np.array([0, 3.0, 0], np.float32),
+            f,
+            density=1.0,
+            strain_stiffness=500.0,
+            volume_stiffness=500.0,
+        )
+        for _ in range(80):
+            s.tick()
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        assert np.all(np.isfinite(p))
+        assert p[:, 1].mean() < 3.0  # fell under gravity
+        assert p[:, 1].min() > -1.5  # caught by floor contacts
