@@ -75,6 +75,23 @@ def detect_point_tri_collisions(
         budget=budget.max_candidates_per_tri,
     )  # cand: i32[T,B]
 
+    # Deduplicate candidate pairs.  The reference tests (and emits
+    # constraints for) a pair once per shared grid cell (Solver.cpp:747-797
+    # iterates per-cell buckets with no dedup), accidentally multiplying the
+    # collision stiffness by the shared-cell count; one constraint per pair
+    # is better conditioned and is the documented divergence (FIDELITY.md).
+    sentinel = jnp.int32(2**31 - 1)
+    cand_sorted = jnp.sort(jnp.where(cand_valid, cand, sentinel), axis=-1)
+    first = jnp.concatenate(
+        [
+            jnp.ones((t, 1), bool),
+            cand_sorted[:, 1:] != cand_sorted[:, :-1],
+        ],
+        axis=-1,
+    )
+    cand_valid = first & (cand_sorted != sentinel)
+    cand = jnp.minimum(cand_sorted, t - 1)
+
     # Skip self and shared-node pairs (Solver.cpp:757-770).
     own = triangles  # [T,3]
     other = triangles[cand]  # [T,B,3]
@@ -176,8 +193,32 @@ def pbd_node_node_response(
         budget=budget.max_candidates_per_node,
     )  # [N,B]
 
+    # Deduplicate: a neighbor covering k shared cells appears k times in the
+    # gather.  The reference processes those duplicates *sequentially*, so
+    # after the first push the pair no longer overlaps and the remaining
+    # k−1 are no-ops (Solver.cpp:95-99); under Jacobi accumulation they
+    # would instead stack k pushes.  One entry per neighbor is the faithful
+    # equivalent.
+    sentinel = jnp.int32(2**31 - 1)
+    cand_sorted = jnp.sort(jnp.where(cand_valid, cand, sentinel), axis=-1)
+    first = jnp.concatenate(
+        [
+            jnp.ones((n, 1), bool),
+            cand_sorted[:, 1:] != cand_sorted[:, :-1],
+        ],
+        axis=-1,
+    )
+    cand_valid = first & (cand_sorted != sentinel)
+    cand = jnp.minimum(cand_sorted, n - 1)
+
+    # Process each unordered pair once, moving both nodes.  The reference
+    # sweeps both directions sequentially: the first visit resolves the
+    # overlap (0.85 of it) and the second sees what's left (~0.15) —
+    # net ≈ 0.98 of the overlap.  A single symmetric 0.85 push is the
+    # Jacobi equivalent; double-counting both directions would apply 1.7x
+    # and explode piles.
     i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    ok = cand_valid & (cand != i_idx) & live[:, None] & live[cand]
+    ok = cand_valid & (cand > i_idx) & live[:, None] & live[cand]
 
     xi = x[:, None, :]
     xj = x[cand]

@@ -76,11 +76,16 @@ class CollisionBudget:
     # Max grid cells a swept triangle AABB may cover (reference caps the
     # per-axis range at 20 cells, Solver.cpp:672; total cells 20^3 is not
     # representable statically — budget the common case and latch overflow).
-    max_cells_per_tri: int = 32
+    # In quirk mode the triangle grid has unit cells (world-space range
+    # computation, Solver.cpp:659-670), so multi-unit triangles cover many
+    # cells; 64 covers a 4x2x6-cell AABB.
+    max_cells_per_tri: int = 64
     # Max entries scanned per grid cell (reference latches at 1000/bucket).
     max_entries_per_cell: int = 16
-    # Candidate triangles gathered per query triangle.
-    max_candidates_per_tri: int = 32
+    # Candidate triangles gathered per query triangle.  Self-entries count
+    # toward the budget (dedup happens after the gather), so this must cover
+    # own-cell count + neighbors.
+    max_candidates_per_tri: int = 64
     # Fixed capacity of the per-substep point-triangle contact buffer; the
     # host sizes this from the scene's triangle count.
     max_point_tri_contacts: int = 256

@@ -295,9 +295,7 @@ class Solver:
             **batches,
         )
 
-        budget = self._budget or CollisionBudget(
-            max_point_tri_contacts=max(256, 2 * tris.shape[0])
-        )
+        budget = self._budget or self._auto_budget(positions, tris)
         self._config = StepConfig(
             solver=self._options.solver,
             time_substeps=int(self._options.time_substeps),
@@ -313,6 +311,29 @@ class Solver:
         )
         self._prepared_nodes = num_live
         self._dirty = False
+
+    def _auto_budget(self, positions: np.ndarray, tris: np.ndarray) -> CollisionBudget:
+        """Size the static collision budgets from the scene's actual triangle
+        extents.  In quirk mode the triangle grid has unit cells
+        (``Solver.cpp:659-670``), so a triangle's covered-cell count is
+        roughly the product of its axis extents (+2 cells of boundary slack
+        and swept motion margin per axis)."""
+        base = CollisionBudget()
+        if tris.shape[0] == 0 or positions.shape[0] == 0:
+            return base
+        scale = 1.0 if self._reference_quirks else self._options.grid_spacing
+        p = positions[tris] / scale  # [T,3,3]
+        ext = p.max(axis=1) - p.min(axis=1)  # [T,3]
+        cells = np.prod(np.ceil(ext) + 2.0, axis=1)
+        need = int(min(np.max(cells) * 1.5, 512))
+        max_cells = max(base.max_cells_per_tri, -(-need // 8) * 8)
+        return CollisionBudget(
+            max_cells_per_tri=max_cells,
+            max_candidates_per_tri=max(
+                base.max_candidates_per_tri, max_cells + 32
+            ),
+            max_point_tri_contacts=max(256, 2 * tris.shape[0]),
+        )
 
     def tick(self, delta_time: float = 0.0):
         """Advance one tick.  Like the reference, the wall-clock argument is
