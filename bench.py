@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: tet-soup stress scene on the real TPU chip.
+
+Scene (BASELINE.json config 5 / SURVEY §6 north star): a 500k-particle tet
+soup — 125k independent tetrahedra — stepped by the full PD pipeline:
+strain + volume constraint local steps (batched 3x3 SVDs), matrix-free
+Jacobi-PCG global solve, sorted-grid broadphase + point-triangle CCD,
+stabilization and friction passes.  One tick is one compiled XLA program.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares particle-iterations/sec against the measured CPU
+transcription baseline in BASELINE_CPU.json (see
+scripts/measure_cpu_baseline.py), scaled by the reference's 8-thread
+assumption; 0.0 if the baseline file is absent.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    n_tets = int(os.environ.get("PIES_BENCH_TETS", 125_000))
+    timed_ticks = int(os.environ.get("PIES_BENCH_TICKS", 10))
+    warmup = int(os.environ.get("PIES_BENCH_WARMUP", 3))
+
+    import numpy as np
+
+    from pies_tpu import Solver
+    from pies_tpu.options import SolverName, SolverOptions
+
+    solver = Solver(
+        SolverOptions(solver=SolverName.PD), enable_collisions=True
+    )
+    solver.create_tet_soup(
+        n_tets, spacing=1.6, scale=0.8, w=2000.0, height=4.0, jitter=0.05
+    )
+    solver._prepare()
+    n_particles = solver._builder.num_nodes
+
+    for _ in range(warmup):
+        solver.tick()
+
+    t0 = time.perf_counter()
+    for _ in range(timed_ticks):
+        solver.tick()
+    elapsed = time.perf_counter() - t0
+
+    assert not solver.sim_failed, "benchmark scene latched sim failure"
+    steps_per_sec = timed_ticks / elapsed
+    iters = solver.options.iterations * solver.options.time_substeps
+    particle_iters_per_sec = steps_per_sec * n_particles * iters
+
+    vs_baseline = 0.0
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json"
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            cpu = json.load(f)
+        # CPU transcription measured single-core; the reference assumes an
+        # 8-thread CPU (Solver.h:36) — scale optimistically in its favor.
+        cpu_piters = cpu["particle_iters_per_sec_single_core"] * cpu.get(
+            "reference_thread_assumption", 8
+        )
+        vs_baseline = particle_iters_per_sec / cpu_piters
+
+    print(
+        json.dumps(
+            {
+                "metric": f"tet_soup_{n_particles}p_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec",
+                "vs_baseline": round(vs_baseline, 2),
+                "particle_iters_per_sec": round(particle_iters_per_sec),
+                "particles": n_particles,
+                "tick_ms": round(1000.0 * elapsed / timed_ticks, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

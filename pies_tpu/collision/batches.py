@@ -181,9 +181,17 @@ def stabilize_point_tri(
     da = disp * (im[:, 0] * inv_w)[:, None]
     dbcd = -disp * (w_tri * inv_w)[:, None]
 
+    # Count-averaged application: the reference stabilizes sequentially,
+    # re-measuring penetration per constraint, so a node shared by k active
+    # contacts is pushed ~once, not k times (cf. the friction pass note in
+    # solver/pd.py).  Averaging keeps dense piles from overshooting.
+    am = active.astype(positions.dtype)
     delta = jnp.zeros_like(positions)
+    count = jnp.zeros(positions.shape[0], positions.dtype)
     delta = delta.at[pt_idx[:, 0]].add(da)
-    delta = delta.at[pt_idx[:, 1]].add(dbcd)
-    delta = delta.at[pt_idx[:, 2]].add(dbcd)
-    delta = delta.at[pt_idx[:, 3]].add(dbcd)
+    count = count.at[pt_idx[:, 0]].add(am)
+    for k in (1, 2, 3):
+        delta = delta.at[pt_idx[:, k]].add(dbcd)
+        count = count.at[pt_idx[:, k]].add(am)
+    delta = delta / jnp.maximum(count, 1.0)[:, None]
     return positions + delta, prev_positions + delta

@@ -23,6 +23,114 @@ from .narrowphase import point_triangle_ccd
 
 
 def detect_point_tri_collisions(
+    x: jax.Array,
+    prev: jax.Array,
+    triangles: jax.Array,
+    tri_mask: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Dispatch to the configured triangle broadphase.
+
+    * ``celllist`` (default): sorted cell list — one home-cell entry per
+      triangle, neighborhood query, cell size tracking triangle extent.
+      Finds a superset of the reference's candidate pairs (the reference
+      silently drops triangles spanning >20 cells, ``Solver.cpp:672-674``)
+      at a fraction of the sort cost.
+    * ``reference``: the quirk-faithful multi-cell insertion sweep matching
+      the reference's bucket semantics (world-unit cells).
+
+    Both share the narrowphase and the compaction; the candidate-pair *set*
+    is identical for scenes within the reference's caps.
+    """
+    if config.broadphase_mode == "reference":
+        return _detect_point_tri_reference(
+            x, prev, triangles, tri_mask, params, config
+        )
+    return _detect_point_tri_celllist(
+        x, prev, triangles, tri_mask, params, config
+    )
+
+
+def _tri_swept_aabb(x, prev, triangles, scale):
+    p_now = x[triangles] / scale  # [T,3,3]
+    p_prev = prev[triangles] / scale
+    lo = jnp.minimum(p_now.min(axis=1), p_prev.min(axis=1))
+    hi = jnp.maximum(p_now.max(axis=1), p_prev.max(axis=1))
+    return lo, hi
+
+
+def _detect_point_tri_celllist(
+    x: jax.Array,
+    prev: jax.Array,
+    triangles: jax.Array,
+    tri_mask: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Sorted cell-list broadphase.
+
+    Each triangle is inserted into the single cell of its swept-AABB min
+    corner; a query enumerates the AABB's cell range expanded by one cell on
+    the min side, which covers every triangle whose AABB overlaps the query
+    AABB provided no triangle exceeds one cell in extent — violators latch
+    the overflow flag (the analog of the reference's range-cap skip, but
+    loud instead of silent).
+
+    The cell size is a *traced* scalar: ``collision_cell_scale`` x the
+    largest initial triangle extent, supplied via ``PhysicsParams.
+    broadphase_cell`` — retunable without recompiling.
+    """
+    budget = config.budget
+    t = triangles.shape[0]
+    cell = params.broadphase_cell
+
+    lo, hi = _tri_swept_aabb(x, prev, triangles, cell)
+    live = tri_mask > 0
+
+    # Items larger than one cell weaken the home-cell coverage guarantee:
+    # for extents in (1, 2] cells the pair is still found from the large
+    # item's own query (its range covers its full AABB), only the reverse
+    # direction can miss — a transient partial loss akin to the reference's
+    # silent range-cap skip (Solver.cpp:672-674).  Extents beyond 2 cells
+    # latch hard.
+    too_big = jnp.any((hi - lo) > 2.0, axis=-1) & live
+    size_over = jnp.any(too_big)
+
+    home = jnp.floor(lo).astype(jnp.int32)[:, None, :]  # [T,1,3]
+    home_valid = live[:, None]
+    hgrid = build_grid(home, home_valid)
+
+    # Query range: AABB cells plus one on the min side.
+    q_coords, q_valid, q_over = aabb_cell_slots(
+        lo - 1.0, hi, budget.max_cells_per_tri, range_cap=8
+    )
+    q_valid = q_valid & live[:, None]
+
+    cand, cand_valid, gather_over = gather_candidates(
+        hgrid,
+        q_coords,
+        q_valid,
+        per_cell_cap=budget.max_entries_per_cell,
+        budget=budget.max_candidates_per_tri,
+    )
+    # Home-cell insertion is unique per triangle — no dedup needed.
+    cand = jnp.minimum(cand, t - 1)
+
+    pt_idx, pt_mask, total = _ccd_and_compact(
+        x, prev, triangles, cand, cand_valid, params, config
+    )
+    cap = budget.max_point_tri_contacts
+    overflow = (
+        size_over
+        | jnp.any(q_over & live)
+        | jnp.any(gather_over & live)
+        | (total > cap)
+    )
+    return pt_idx, pt_mask, overflow
+
+
+def _detect_point_tri_reference(
     x: jax.Array,  # f32[N,3] advected positions
     prev: jax.Array,  # f32[N,3] positions at substep start
     triangles: jax.Array,  # i32[T,3]
@@ -30,7 +138,7 @@ def detect_point_tri_collisions(
     params: PhysicsParams,
     config: StepConfig,
 ):
-    """The PD collision sweep (``Solver.cpp:680-875``).
+    """The quirk-faithful PD collision sweep (``Solver.cpp:680-875``).
 
     For every triangle pair sharing a covered grid cell (minus pairs with a
     common node, ``Solver.cpp:757-770``), each of the query triangle's three
@@ -92,59 +200,10 @@ def detect_point_tri_collisions(
     cand_valid = first & (cand_sorted != sentinel)
     cand = jnp.minimum(cand_sorted, t - 1)
 
-    # Skip self and shared-node pairs (Solver.cpp:757-770).
-    own = triangles  # [T,3]
-    other = triangles[cand]  # [T,B,3]
-    shares = jnp.any(
-        own[:, None, :, None] == other[:, :, None, :], axis=(-1, -2)
-    )  # [T,B]
-    pair_ok = cand_valid & ~shares & (cand != jnp.arange(t)[:, None])
-
-    # CCD: each corner of the query triangle vs the candidate triangle,
-    # relative to the candidate's first node (Solver.cpp:777-788).
-    b_idx = other[..., 0]  # [T,B]
-    c_idx = other[..., 1]
-    d_idx = other[..., 2]
-
-    bp0, bp1 = prev[b_idx], x[b_idx]  # [T,B,3]
-    ab0 = prev[c_idx] - bp0
-    ac0 = prev[d_idx] - bp0
-    ab1 = x[c_idx] - bp1
-    ac1 = x[d_idx] - bp1
-
-    ap0 = prev[own][:, None, :, :] - bp0[:, :, None, :]  # [T,B,3corners,3]
-    ap1 = x[own][:, None, :, :] - bp1[:, :, None, :]
-
-    hit, _ = point_triangle_ccd(
-        ap0,
-        ab0[:, :, None, :],
-        ac0[:, :, None, :],
-        ap1,
-        ab1[:, :, None, :],
-        ac1[:, :, None, :],
-        params.collision_threshold_distance,
-    )  # [T,B,3]
-    hit = hit & pair_ok[:, :, None]
-
-    # Compact (a, b, c, d) tuples into the fixed contact buffer.
-    flat_hit = hit.reshape(-1)
-    flat_a = jnp.broadcast_to(own[:, None, :], hit.shape).reshape(-1)
-    flat_b = jnp.broadcast_to(b_idx[:, :, None], hit.shape).reshape(-1)
-    flat_c = jnp.broadcast_to(c_idx[:, :, None], hit.shape).reshape(-1)
-    flat_d = jnp.broadcast_to(d_idx[:, :, None], hit.shape).reshape(-1)
-
-    cap = budget.max_point_tri_contacts
-    pos = jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
-    total = pos[-1] + 1
-    dest = jnp.where(flat_hit & (pos < cap), pos, cap)  # cap = dump slot
-
-    pt_idx = jnp.zeros((cap + 1, 4), dtype=jnp.int32)
-    tuples = jnp.stack([flat_a, flat_b, flat_c, flat_d], axis=-1)
-    pt_idx = pt_idx.at[dest].set(tuples)[:cap]
-    pt_mask = (
-        jnp.zeros(cap + 1, dtype=x.dtype).at[dest].set(1.0)[:cap]
+    pt_idx, pt_mask, total = _ccd_and_compact(
+        x, prev, triangles, cand, cand_valid, params, config
     )
-
+    cap = budget.max_point_tri_contacts
     overflow = (
         jnp.any(ins_over & live)
         | jnp.any(q_over & live)
@@ -152,6 +211,82 @@ def detect_point_tri_collisions(
         | (total > cap)
     )
     return pt_idx, pt_mask, overflow
+
+
+def _ccd_and_compact(
+    x: jax.Array,
+    prev: jax.Array,
+    triangles: jax.Array,
+    cand: jax.Array,  # i32[T,B]
+    cand_valid: jax.Array,  # bool[T,B]
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Narrowphase + contact compaction shared by both broadphase modes.
+
+    Runs as a scan over the candidate-slot axis so peak memory stays O(T)
+    instead of O(T·B): at stress-scene scale (500k tris, 64+ slots) the
+    fully-vectorized form would materialize multi-GB gather intermediates.
+    Each step CCD-tests all triangles' three corners against their b-th
+    candidate and streams hits into the fixed contact buffer
+    (running-count compaction).
+    """
+    t = triangles.shape[0]
+    own = triangles  # [T,3]
+    cap = config.budget.max_point_tri_contacts
+    corner_a = own.reshape(-1)  # [T*3]
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    own_prev = prev[own]  # [T,3,3]
+    own_now = x[own]
+
+    def step(carry, slot):
+        pt_idx, pt_mask, count = carry
+        cand_b, valid_b = slot  # [T], [T]
+        other = triangles[cand_b]  # [T,3]
+        # Skip self and shared-node pairs (Solver.cpp:757-770).
+        shares = jnp.any(own[:, :, None] == other[:, None, :], axis=(-1, -2))
+        pair_ok = valid_b & ~shares & (cand_b != tri_ids)
+
+        # CCD: each corner of the query triangle vs the candidate triangle,
+        # relative to the candidate's first node (Solver.cpp:777-788).
+        bp0, bp1 = prev[other[:, 0]], x[other[:, 0]]  # [T,3]
+        ab0 = prev[other[:, 1]] - bp0
+        ac0 = prev[other[:, 2]] - bp0
+        ab1 = x[other[:, 1]] - bp1
+        ac1 = x[other[:, 2]] - bp1
+        ap0 = own_prev - bp0[:, None, :]  # [T,3corners,3]
+        ap1 = own_now - bp1[:, None, :]
+
+        hit, _ = point_triangle_ccd(
+            ap0,
+            ab0[:, None, :],
+            ac0[:, None, :],
+            ap1,
+            ab1[:, None, :],
+            ac1[:, None, :],
+            params.collision_threshold_distance,
+        )  # [T,3]
+        hit = hit & pair_ok[:, None]
+
+        flat_hit = hit.reshape(-1)  # [T*3]
+        pos = count + jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
+        dest = jnp.where(flat_hit & (pos < cap), pos, cap)  # cap = dump slot
+        bcd = jnp.repeat(other, 3, axis=0)  # [T*3,3]
+        tuples = jnp.concatenate([corner_a[:, None], bcd], axis=-1)
+        pt_idx = pt_idx.at[dest].set(tuples)
+        pt_mask = pt_mask.at[dest].set(1.0)
+        count = count + flat_hit.sum(dtype=jnp.int32)
+        return (pt_idx, pt_mask, count), None
+
+    init = (
+        jnp.zeros((cap + 1, 4), dtype=jnp.int32),
+        jnp.zeros(cap + 1, dtype=x.dtype),
+        jnp.int32(0),
+    )
+    (pt_idx, pt_mask, total), _ = jax.lax.scan(
+        step, init, (cand.T, cand_valid.T)
+    )
+    return pt_idx[:cap], pt_mask[:cap], total
 
 
 def pbd_node_node_response(

@@ -110,14 +110,19 @@ def gather_candidates(
     query_valid: jax.Array,  # bool[M, S]
     per_cell_cap: int,
     budget: int,
+    hard_cap: int = 1000,
 ):
     """Densely gather up to ``budget`` candidate items per query item.
 
     For each queried cell, ``searchsorted`` yields its entry range in the
-    sorted table (clipped to ``per_cell_cap`` — the analog of the
-    reference's >1000-entries-per-bucket latch, ``Solver.cpp:751-755``);
-    ranges are packed back-to-back via a per-item cumulative count so the
-    budget is spent only on occupied cells.
+    sorted table; ranges are packed back-to-back via a per-item cumulative
+    count so the budget is spent only on occupied cells.
+
+    Exceeding ``per_cell_cap`` or ``budget`` degrades gracefully — excess
+    candidates are dropped, exactly as over-dense regions are already
+    redundantly constrained — while ``hard_cap`` reproduces the reference's
+    failure semantics (it only latches ``_simFailed`` when a bucket exceeds
+    1000 entries or a sweep touches 1000 buckets, ``Solver.cpp:741-755``).
 
     Returns ``(candidates i32[M, budget], cand_valid bool[M, budget],
     overflow bool[M])``.
@@ -132,12 +137,12 @@ def gather_candidates(
     start = jnp.searchsorted(grid.sorted_keys, flat, side="left").reshape(m, s)
     end = jnp.searchsorted(grid.sorted_keys, flat, side="right").reshape(m, s)
     count = jnp.where(query_valid, end - start, 0)
-    cell_overflow = count > per_cell_cap
+    cell_overflow = count > hard_cap
     count = jnp.minimum(count, per_cell_cap)
 
     offsets = jnp.cumsum(count, axis=-1)  # [M,S] inclusive
     total = offsets[:, -1]
-    overflow = jnp.any(cell_overflow, axis=-1) | (total > budget)
+    overflow = jnp.any(cell_overflow, axis=-1) | (total > hard_cap)
 
     b = jnp.arange(budget, dtype=jnp.int32)[None, :]  # [1,B]
     # Which cell does budget slot b fall into? First cell whose inclusive

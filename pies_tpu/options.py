@@ -121,6 +121,11 @@ class StepConfig:
     #  * triangle broadphase computes cell ranges in world units, ignoring
     #    grid_spacing (Solver.cpp:659-670)
     reference_quirks: bool = True
+    # Triangle broadphase: "celllist" (default, sorted cell list with one
+    # home-cell entry per triangle — the performance path) or "reference"
+    # (quirk-faithful multi-cell insertion matching the reference's bucket
+    # semantics; see collision/broadphase.py).
+    broadphase_mode: str = "celllist"
     budget: CollisionBudget = CollisionBudget()
     dtype: str = "float32"
 
@@ -145,6 +150,10 @@ class PhysicsParams:
     # PBD-only public toggle gating position-constraint projection
     # (Solver.h:52, Solver.cpp:59-63). 1.0 = hinge released (skip pins).
     release_hinge: jax.Array
+    # Cell size of the cell-list triangle broadphase (world units).  Traced,
+    # so the host can retune it per scene without recompiling; must exceed
+    # the largest swept triangle AABB extent (violations latch overflow).
+    broadphase_cell: jax.Array
 
 
 def split_options(options: SolverOptions, **config_overrides) -> tuple[StepConfig, PhysicsParams]:
@@ -162,7 +171,11 @@ def split_options(options: SolverOptions, **config_overrides) -> tuple[StepConfi
     return config, params
 
 
-def make_params(options: SolverOptions, release_hinge: bool = False) -> PhysicsParams:
+def make_params(
+    options: SolverOptions,
+    release_hinge: bool = False,
+    broadphase_cell: float = 1.0,
+) -> PhysicsParams:
     f32 = jnp.float32
     return PhysicsParams(
         dt=f32(options.fixed_timestep_size / max(1, options.time_substeps)),
@@ -175,4 +188,5 @@ def make_params(options: SolverOptions, release_hinge: bool = False) -> PhysicsP
         collision_thickness=f32(options.collision_thickness),
         grid_spacing=f32(options.grid_spacing),
         release_hinge=f32(1.0 if release_hinge else 0.0),
+        broadphase_cell=f32(broadphase_cell),
     )

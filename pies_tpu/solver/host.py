@@ -48,6 +48,7 @@ class Solver:
         rotation_iterations: int = 20,
         enable_collisions: bool = True,
         reference_quirks: bool = True,
+        broadphase_mode: str = "celllist",
         budget: CollisionBudget | None = None,
         node_capacity: int | None = None,
     ):
@@ -57,6 +58,8 @@ class Solver:
         self._rotation_iterations = rotation_iterations
         self._enable_collisions = enable_collisions
         self._reference_quirks = reference_quirks
+        self._broadphase_mode = broadphase_mode
+        self._broadphase_cell = 1.0
         self._budget = budget
         self._node_capacity = node_capacity
 
@@ -296,6 +299,11 @@ class Solver:
         )
 
         budget = self._budget or self._auto_budget(positions, tris)
+        # Cell-list cell size: largest triangle extent with headroom for
+        # deformation and per-substep sweep; retunable without recompiling.
+        if tris.shape[0]:
+            ext = (positions[tris].max(axis=1) - positions[tris].min(axis=1)).max()
+            self._broadphase_cell = float(max(0.25, 1.5 * ext))
         self._config = StepConfig(
             solver=self._options.solver,
             time_substeps=int(self._options.time_substeps),
@@ -307,6 +315,7 @@ class Solver:
             rotation_iterations=self._rotation_iterations,
             enable_collisions=self._enable_collisions,
             reference_quirks=self._reference_quirks,
+            broadphase_mode=self._broadphase_mode,
             budget=budget,
         )
         self._prepared_nodes = num_live
@@ -321,17 +330,27 @@ class Solver:
         base = CollisionBudget()
         if tris.shape[0] == 0 or positions.shape[0] == 0:
             return base
+        if self._broadphase_mode == "celllist":
+            # Query range is at most 3 cells per axis (extent <= 1 cell plus
+            # one cell of min-side halo); occupancy is bounded by co-homed
+            # triangles.
+            # Query ranges can reach 4-5 cells per axis when items deform
+            # or move fast (extent up to 2 cells + 1 halo cell).
+            return CollisionBudget(
+                max_cells_per_tri=96,
+                max_entries_per_cell=32,
+                max_candidates_per_tri=160,
+                max_point_tri_contacts=max(256, 8 * tris.shape[0]),
+            )
         scale = 1.0 if self._reference_quirks else self._options.grid_spacing
         p = positions[tris] / scale  # [T,3,3]
         ext = p.max(axis=1) - p.min(axis=1)  # [T,3]
         cells = np.prod(np.ceil(ext) + 2.0, axis=1)
         need = int(min(np.max(cells) * 1.5, 512))
-        max_cells = max(base.max_cells_per_tri, -(-need // 8) * 8)
+        max_cells = int(np.clip(-(-need // 8) * 8, 16, 512))
         return CollisionBudget(
             max_cells_per_tri=max_cells,
-            max_candidates_per_tri=max(
-                base.max_candidates_per_tri, max_cells + 32
-            ),
+            max_candidates_per_tri=max(32, max_cells + 32),
             max_point_tri_contacts=max(256, 2 * tris.shape[0]),
         )
 
@@ -339,7 +358,11 @@ class Solver:
         """Advance one tick.  Like the reference, the wall-clock argument is
         ignored in favor of the fixed timestep (``Solver.cpp:40-42,165``)."""
         self._prepare()
-        params = make_params(self._options, release_hinge=self.release_hinge)
+        params = make_params(
+            self._options,
+            release_hinge=self.release_hinge,
+            broadphase_cell=self._broadphase_cell,
+        )
         t0 = time.perf_counter()
         self._state, residual = tick_fn(
             self._state, self._topology, params, self._config

@@ -174,13 +174,22 @@ def _point_tri_friction(
         - 1.1 * jnp.minimum(v_dot_n, 0.0)[:, None] * n
     ) * colls.pt_mask[:, None]
 
+    # The reference applies these impulses sequentially, recomputing the
+    # relative velocity per constraint (Solver.cpp:431-471): the first
+    # contact neutralizes vDotN and later contacts on the same node are
+    # near-no-ops.  A raw Jacobi sum would apply k restitution kicks to a
+    # node with k contacts and detonate dense piles; count-averaging is the
+    # stable batched equivalent of "first application wins".
     delta = jnp.zeros_like(vel)
+    count = jnp.zeros(vel.shape[0], vel.dtype)
+    m = colls.pt_mask
     delta = delta.at[idx[:, 0]].add(dv * (im[:, 0] / w_sum)[:, None])
+    count = count.at[idx[:, 0]].add(m)
     share = -dv * (tri_w / w_sum)[:, None]
-    delta = delta.at[idx[:, 1]].add(share)
-    delta = delta.at[idx[:, 2]].add(share)
-    delta = delta.at[idx[:, 3]].add(share)
-    return vel + delta
+    for k in (1, 2, 3):
+        delta = delta.at[idx[:, k]].add(share)
+        count = count.at[idx[:, k]].add(m)
+    return vel + delta / jnp.maximum(count, 1.0)[:, None]
 
 
 def _static_floor_friction(

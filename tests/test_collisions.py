@@ -96,7 +96,7 @@ class TestPointTriangleCollisions:
         now = tri_pos.copy()
         now[3:, 1] = -0.5
         tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
-        params = make_params(SolverOptions())
+        params = make_params(SolverOptions(), broadphase_cell=6.0)
         cfg = StepConfig(solver=SolverName.PD)
         state = pt.make_state(tri_pos, capacity=8)
         prev_p = jnp.asarray(
@@ -122,7 +122,7 @@ class TestPointTriangleCollisions:
             [[0, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1]], np.float32
         )
         tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
-        params = make_params(SolverOptions())
+        params = make_params(SolverOptions(), broadphase_cell=6.0)
         cfg = StepConfig(solver=SolverName.PD)
         state = pt.make_state(pos, capacity=8)
         full = jnp.asarray(
