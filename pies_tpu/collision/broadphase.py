@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..options import PhysicsParams, StepConfig
-from .grid import aabb_cell_slots, build_grid, gather_candidates
+from .grid import aabb_cell_slots, build_grid, gather_candidates, table_size_for
 from .narrowphase import point_triangle_ccd
 
 
@@ -99,7 +99,7 @@ def _detect_point_tri_celllist(
 
     home = jnp.floor(lo).astype(jnp.int32)[:, None, :]  # [T,1,3]
     home_valid = live[:, None]
-    hgrid = build_grid(home, home_valid)
+    hgrid = build_grid(home, home_valid, table_size_for(t))
 
     # Query range: AABB cells plus one on the min side.
     q_coords, q_valid, q_over = aabb_cell_slots(
@@ -117,16 +117,13 @@ def _detect_point_tri_celllist(
     # Home-cell insertion is unique per triangle — no dedup needed.
     cand = jnp.minimum(cand, t - 1)
 
+    margin = params.collision_threshold_distance / cell
     pt_idx, pt_mask, total = _ccd_and_compact(
-        x, prev, triangles, cand, cand_valid, params, config
+        x, prev, triangles, cand, cand_valid, params, config, lo, hi, margin
     )
-    cap = budget.max_point_tri_contacts
-    overflow = (
-        size_over
-        | jnp.any(q_over & live)
-        | jnp.any(gather_over & live)
-        | (total > cap)
-    )
+    # Contact-buffer overflow drops the excess (re-detected next substep);
+    # only the reference-scale bucket explosions latch sim failure.
+    overflow = size_over | jnp.any(q_over & live) | jnp.any(gather_over & live)
     return pt_idx, pt_mask, overflow
 
 
@@ -174,7 +171,11 @@ def _detect_point_tri_reference(
     ins_valid = ins_valid & live[:, None]
     q_valid = q_valid & live[:, None]
 
-    hgrid = build_grid(ins_coords, ins_valid)
+    hgrid = build_grid(
+        ins_coords,
+        ins_valid,
+        min(table_size_for(t * budget.max_cells_per_tri, 1.0), 1 << 22),
+    )
     cand, cand_valid, gather_over = gather_candidates(
         hgrid,
         q_coords,
@@ -201,16 +202,57 @@ def _detect_point_tri_reference(
     cand = jnp.minimum(cand_sorted, t - 1)
 
     pt_idx, pt_mask, total = _ccd_and_compact(
-        x, prev, triangles, cand, cand_valid, params, config
+        x, prev, triangles, cand, cand_valid, params, config, lo, hi, 
+        params.collision_threshold_distance / scale
     )
-    cap = budget.max_point_tri_contacts
     overflow = (
         jnp.any(ins_over & live)
         | jnp.any(q_over & live)
         | jnp.any(gather_over & live)
-        | (total > cap)
     )
     return pt_idx, pt_mask, overflow
+
+
+def _aabb_prefilter_pack(
+    cand: jax.Array,  # i32[T,B]
+    cand_valid: jax.Array,  # bool[T,B]
+    lo: jax.Array,  # f32[T,3] swept AABB (grid units)
+    hi: jax.Array,
+    margin: jax.Array,
+    narrow: int,
+):
+    """Drop candidates whose swept AABBs don't overlap (inflated by the
+    CCD threshold) and pack survivors to the front of a ``narrow`` buffer.
+
+    Cell-neighborhood candidates outnumber true AABB overlaps ~8x in dense
+    scenes; the full CCD is ~20 gathers + ~150 flops per candidate, the
+    AABB test is 2 gathers — packing before the narrowphase is the win.
+    """
+    t, b = cand.shape
+    overlap = jnp.zeros((t, b), bool)
+    chunk = 32
+    for c0 in range(0, b, chunk):  # chunked to bound gather intermediates
+        cc = cand[:, c0 : c0 + chunk]
+        lo_c = lo[cc]  # [T,ch,3]
+        hi_c = hi[cc]
+        ov = jnp.all(
+            (lo_c <= hi[:, None] + margin) & (hi_c >= lo[:, None] - margin),
+            axis=-1,
+        )
+        overlap = overlap.at[:, c0 : c0 + chunk].set(
+            ov & cand_valid[:, c0 : c0 + chunk]
+        )
+
+    cnt = jnp.cumsum(overlap.astype(jnp.int32), axis=1)  # [T,B] inclusive
+    total = cnt[:, -1]
+    # Source slot of the p-th survivor: count of slots with cnt <= p
+    # (compare-reduce; see grid._rank_and_prev).
+    ps = jnp.arange(narrow, dtype=jnp.int32)[None, None, :]
+    src = jnp.sum((cnt[:, :, None] <= ps).astype(jnp.int32), axis=1)
+    src = jnp.minimum(src, b - 1)
+    packed = jnp.take_along_axis(cand, src, axis=1)
+    packed_valid = ps[0] < jnp.minimum(total, narrow)[:, None]
+    return packed, packed_valid
 
 
 def _ccd_and_compact(
@@ -221,72 +263,116 @@ def _ccd_and_compact(
     cand_valid: jax.Array,  # bool[T,B]
     params: PhysicsParams,
     config: StepConfig,
+    lo: jax.Array,
+    hi: jax.Array,
+    margin: jax.Array,
 ):
     """Narrowphase + contact compaction shared by both broadphase modes.
 
-    Runs as a scan over the candidate-slot axis so peak memory stays O(T)
-    instead of O(T·B): at stress-scene scale (500k tris, 64+ slots) the
-    fully-vectorized form would materialize multi-GB gather intermediates.
-    Each step CCD-tests all triangles' three corners against their b-th
-    candidate and streams hits into the fixed contact buffer
-    (running-count compaction).
+    An AABB-overlap prefilter packs the cell-neighborhood candidates down to
+    ``max_narrow_candidates`` true neighbors, then the CCD runs as a scan
+    over *chunks* of the packed axis: peak memory stays O(T · chunk) — at
+    stress-scene scale (500k tris) the fully-vectorized form would
+    materialize multi-GB gather intermediates, while per-slot steps would
+    serialize into B launches.  Hits stream into the fixed contact buffer
+    (running-count compaction; a single int32 id per hit is scattered and
+    decoded afterwards, keeping TPU's slowest primitive minimal).
     """
-    t = triangles.shape[0]
+    cand, cand_valid = _aabb_prefilter_pack(
+        cand, cand_valid, lo, hi, margin, config.budget.max_narrow_candidates
+    )
+    t, b = cand.shape
+    chunk = min(8, b)
+    if b % chunk:  # pad the slot axis to a chunk multiple
+        pad = chunk - b % chunk
+        cand = jnp.pad(cand, ((0, 0), (0, pad)))
+        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
+        b += pad
+
     own = triangles  # [T,3]
     cap = config.budget.max_point_tri_contacts
-    corner_a = own.reshape(-1)  # [T*3]
     tri_ids = jnp.arange(t, dtype=jnp.int32)
     own_prev = prev[own]  # [T,3,3]
     own_now = x[own]
+    # Flat hit id for (tri, global candidate slot, corner); decoded after the
+    # scan.  Scattering one int32 per row instead of the 5-wide tuple keeps
+    # the compaction scatter (TPU's slowest primitive) minimal.
+    n_chunks_total = b // chunk
 
-    def step(carry, slot):
-        pt_idx, pt_mask, count = carry
-        cand_b, valid_b = slot  # [T], [T]
-        other = triangles[cand_b]  # [T,3]
+    def step(carry, inp):
+        hit_ids, count, chunk_i = carry
+        cand_c, valid_c = inp  # [T,C], [T,C]
+        other = triangles[cand_c]  # [T,C,3]
         # Skip self and shared-node pairs (Solver.cpp:757-770).
-        shares = jnp.any(own[:, :, None] == other[:, None, :], axis=(-1, -2))
-        pair_ok = valid_b & ~shares & (cand_b != tri_ids)
+        shares = jnp.any(
+            own[:, None, :, None] == other[:, :, None, :], axis=(-1, -2)
+        )  # [T,C]
+        pair_ok = valid_c & ~shares & (cand_c != tri_ids[:, None])
 
         # CCD: each corner of the query triangle vs the candidate triangle,
         # relative to the candidate's first node (Solver.cpp:777-788).
-        bp0, bp1 = prev[other[:, 0]], x[other[:, 0]]  # [T,3]
-        ab0 = prev[other[:, 1]] - bp0
-        ac0 = prev[other[:, 2]] - bp0
-        ab1 = x[other[:, 1]] - bp1
-        ac1 = x[other[:, 2]] - bp1
-        ap0 = own_prev - bp0[:, None, :]  # [T,3corners,3]
-        ap1 = own_now - bp1[:, None, :]
+        bp0, bp1 = prev[other[..., 0]], x[other[..., 0]]  # [T,C,3]
+        ab0 = prev[other[..., 1]] - bp0
+        ac0 = prev[other[..., 2]] - bp0
+        ab1 = x[other[..., 1]] - bp1
+        ac1 = x[other[..., 2]] - bp1
+        ap0 = own_prev[:, None] - bp0[:, :, None, :]  # [T,C,3corners,3]
+        ap1 = own_now[:, None] - bp1[:, :, None, :]
 
         hit, _ = point_triangle_ccd(
             ap0,
-            ab0[:, None, :],
-            ac0[:, None, :],
+            ab0[:, :, None, :],
+            ac0[:, :, None, :],
             ap1,
-            ab1[:, None, :],
-            ac1[:, None, :],
+            ab1[:, :, None, :],
+            ac1[:, :, None, :],
             params.collision_threshold_distance,
-        )  # [T,3]
-        hit = hit & pair_ok[:, None]
+        )  # [T,C,3]
+        hit = hit & pair_ok[..., None]
 
-        flat_hit = hit.reshape(-1)  # [T*3]
+        flat_hit = hit.reshape(-1)  # [T*C*3]
         pos = count + jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
         dest = jnp.where(flat_hit & (pos < cap), pos, cap)  # cap = dump slot
-        bcd = jnp.repeat(other, 3, axis=0)  # [T*3,3]
-        tuples = jnp.concatenate([corner_a[:, None], bcd], axis=-1)
-        pt_idx = pt_idx.at[dest].set(tuples)
-        pt_mask = pt_mask.at[dest].set(1.0)
+        # id encodes (t, global slot b, corner) = (t*B + chunk_i*C + c)*3 + k
+        ids = (
+            (
+                tri_ids[:, None, None] * b
+                + chunk_i * chunk
+                + jnp.arange(chunk, dtype=jnp.int32)[None, :, None]
+            )
+            * 3
+            + jnp.arange(3, dtype=jnp.int32)[None, None, :]
+        ).reshape(-1)
+        hit_ids = hit_ids.at[dest].set(ids)
         count = count + flat_hit.sum(dtype=jnp.int32)
-        return (pt_idx, pt_mask, count), None
+        return (hit_ids, count, chunk_i + 1), None
 
     init = (
-        jnp.zeros((cap + 1, 4), dtype=jnp.int32),
-        jnp.zeros(cap + 1, dtype=x.dtype),
+        jnp.full(cap + 1, -1, dtype=jnp.int32),
+        jnp.int32(0),
         jnp.int32(0),
     )
-    (pt_idx, pt_mask, total), _ = jax.lax.scan(
-        step, init, (cand.T, cand_valid.T)
+    cand_chunks = cand.reshape(t, n_chunks_total, chunk).transpose(1, 0, 2)
+    valid_chunks = cand_valid.reshape(t, n_chunks_total, chunk).transpose(1, 0, 2)
+    (hit_ids, total, _), _ = jax.lax.scan(
+        step, init, (cand_chunks, valid_chunks)
     )
-    return pt_idx[:cap], pt_mask[:cap], total
+    hit_ids = hit_ids[:cap]
+
+    # Decode ids (constant-divisor div/mod lowers to multiply-shift).
+    found = hit_ids >= 0
+    ids = jnp.maximum(hit_ids, 0)
+    corner = ids % 3
+    tb = ids // 3
+    tri_of = tb // b
+    slot_of = tb % b
+    a_node = triangles[tri_of, corner]
+    other_tri = cand[tri_of, slot_of]
+    bcd = triangles[other_tri]
+    pt_idx = jnp.concatenate([a_node[:, None], bcd], axis=-1)
+    pt_idx = jnp.where(found[:, None], pt_idx, 0)
+    pt_mask = found.astype(x.dtype)
+    return pt_idx, pt_mask, total
 
 
 def pbd_node_node_response(
@@ -319,7 +405,11 @@ def pbd_node_node_response(
     )
     valid = valid & live[:, None]
 
-    hgrid = build_grid(coords, valid)
+    hgrid = build_grid(
+        coords,
+        valid,
+        min(table_size_for(n * budget.max_cells_per_node, 1.0), 1 << 22),
+    )
     cand, cand_valid, _ = gather_candidates(
         hgrid,
         coords,

@@ -1,21 +1,23 @@
-"""Sort-based uniform-grid broadphase.
+"""Sort-based uniform-grid broadphase with a direct-address bucket table.
 
 The reference's broadphase is a ``phmap::parallel_flat_hash_map`` spatial
 hash filled by 16 hard-coded threads (``SpatialHash.h:129-189``).  The
-TPU-native replacement (SURVEY §2.7 item 5) is sort-based and fully static:
+TPU-native replacement (SURVEY §2.7 item 5) is sort + direct addressing:
 
-1. every item expands to ≤ ``cells_cap`` (cell, item) entries over the grid
-   cells its AABB covers;
+1. every item expands to (cell, item) entries over the grid cells its AABB
+   covers (one home cell in cell-list mode);
 2. entries are keyed by the reference's exact cell hash
    (``(x·92837111) ^ (y·689287499) ^ (z·283923481)``, ``SpatialHash.h:28-34``)
-   and sorted — one XLA sort replaces all hashmap insertion;
-3. a query for a cell is two binary searches over the sorted keys, and a
-   fixed per-item candidate budget is gathered by rank (dense packing via a
-   per-item cumulative count, so budget slots are not wasted on empty cells).
+   masked into a power-of-two table, and sorted once — replacing all hashmap
+   insertion;
+3. bucket (start, count) tables are scatter-built over the table slots, so a
+   cell query is two *gathers* — no binary search.  (``jnp.searchsorted``
+   lowers to a serial bisection on TPU and measured ~100x slower than direct
+   addressing at stress-scene query counts.)
 
-Hash aliasing between distinct cells only adds spurious candidates — every
-downstream narrowphase test re-checks geometry — so no cell-id verification
-is needed.
+Hash aliasing (two cells sharing a table slot) merges buckets and only adds
+spurious candidates — every downstream narrowphase test re-checks geometry —
+so no cell-id verification is needed.
 """
 
 from __future__ import annotations
@@ -28,6 +30,12 @@ import jax.numpy as jnp
 _EMPTY_KEY = jnp.uint32(0xFFFFFFFF)
 
 
+def table_size_for(num_items: int, load_factor: float = 0.5) -> int:
+    """Static power-of-two table size targeting the given load factor."""
+    need = max(16, int(num_items / max(load_factor, 1e-3)))
+    return 1 << (need - 1).bit_length()
+
+
 def cell_hash(cx: jax.Array, cy: jax.Array, cz: jax.Array) -> jax.Array:
     """The reference's spatial-hash function (``SpatialHash.h:28-34``),
     computed in uint32 (the reference XORs int64 products; the low 32 bits
@@ -35,16 +43,7 @@ def cell_hash(cx: jax.Array, cy: jax.Array, cz: jax.Array) -> jax.Array:
     ux = cx.astype(jnp.uint32) * jnp.uint32(92837111)
     uy = cy.astype(jnp.uint32) * jnp.uint32(689287499)
     uz = cz.astype(jnp.uint32) * jnp.uint32(283923481)
-    h = jnp.bitwise_xor(jnp.bitwise_xor(ux, uy), uz)
-    # Keep the all-ones key reserved for masked entries.
-    return jnp.where(h == _EMPTY_KEY, jnp.uint32(0xFFFFFFFE), h)
-
-
-class HashGrid(NamedTuple):
-    """Sorted (key, item) table over all (item, covered-cell) entries."""
-
-    sorted_keys: jax.Array  # u32[E]
-    sorted_items: jax.Array  # i32[E]
+    return jnp.bitwise_xor(jnp.bitwise_xor(ux, uy), uz)
 
 
 def aabb_cell_slots(
@@ -63,8 +62,7 @@ def aabb_cell_slots(
 
     Returns ``(cell_coords i32[M, cells_cap, 3], valid bool[M, cells_cap],
     overflow bool[M])`` where ``overflow`` flags items whose (capped) cell
-    count exceeds ``cells_cap`` — the analog of the reference's
-    bucket-explosion latch (``Solver.cpp:741-745``).
+    count exceeds ``cells_cap``.
     """
     base = jnp.floor(lo).astype(jnp.int32)  # [M,3]
     length = (jnp.ceil(hi) - jnp.floor(lo)).astype(jnp.int32)
@@ -78,30 +76,101 @@ def aabb_cell_slots(
     s = jnp.arange(cells_cap, dtype=jnp.int32)[None, :]  # [1,S]
     lyz = jnp.maximum(length[:, 1] * length[:, 2], 1)[:, None]
     lz = jnp.maximum(length[:, 2], 1)[:, None]
-    dx = s // lyz
-    rem = s % lyz
-    dy = rem // lz
-    dz = rem % lz
+    # Integer div/mod by a dynamic divisor lowers terribly on TPU (no native
+    # integer divide); with s < 2^12 and divisors >= 1 the f32 reciprocal
+    # trick is exact: floor((s+0.5)/d) == s // d for integers.
+    dx = _idiv(s, lyz)
+    rem = s - dx * lyz
+    dy = _idiv(rem, lz)
+    dz = rem - dy * lz
     valid = s < jnp.minimum(total, cells_cap)[:, None]
     coords = base[:, None, :] + jnp.stack([dx, dy, dz], axis=-1)
     return coords, valid, overflow
 
 
+def _idiv(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact ``a // b`` for small non-negative int32 via f32 arithmetic."""
+    return jnp.floor(
+        (a.astype(jnp.float32) + 0.5) / b.astype(jnp.float32)
+    ).astype(jnp.int32)
+
+
+class HashGrid(NamedTuple):
+    """Sorted entries plus direct-address bucket tables.
+
+    ``bucket_start``/``bucket_count`` have one extra slot (index ``H``) that
+    absorbs masked entries and invalid queries.
+    """
+
+    sorted_items: jax.Array  # i32[E]
+    bucket_start: jax.Array  # i32[H+1]
+    bucket_count: jax.Array  # i32[H+1]
+
+    @property
+    def num_slots(self) -> int:
+        return self.bucket_start.shape[0] - 1
+
+
 def build_grid(
     cell_coords: jax.Array,  # i32[M, S, 3]
     valid: jax.Array,  # bool[M, S]
+    table_size: int,
 ) -> HashGrid:
-    """Sort all (cell, item) entries by cell hash."""
+    """Sort all (cell, item) entries by table slot and build the tables."""
     m, s, _ = cell_coords.shape
-    keys = cell_hash(
-        cell_coords[..., 0], cell_coords[..., 1], cell_coords[..., 2]
-    )
-    keys = jnp.where(valid, keys, _EMPTY_KEY).reshape(m * s)
+    e = m * s
+    h = table_size
+    slot = (
+        cell_hash(cell_coords[..., 0], cell_coords[..., 1], cell_coords[..., 2])
+        & jnp.uint32(h - 1)
+    ).astype(jnp.int32)
+    slot = jnp.where(valid, slot, h).reshape(e)
     items = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[:, None], (m, s)
-    ).reshape(m * s)
-    order = jnp.argsort(keys)
-    return HashGrid(sorted_keys=keys[order], sorted_items=items[order])
+    ).reshape(e)
+
+    order = jnp.argsort(slot)
+    sorted_slots = slot[order]
+    sorted_items = items[order]
+
+    idx = jnp.arange(e, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_slots[1:] != sorted_slots[:-1]]
+    )
+    first_slot = jnp.where(is_first, sorted_slots, h)
+    bucket_start = (
+        jnp.zeros(h + 1, dtype=jnp.int32).at[first_slot].max(idx, mode="drop")
+    )
+    bucket_count = (
+        jnp.zeros(h + 1, dtype=jnp.int32).at[sorted_slots].add(1, mode="drop")
+    )
+    bucket_count = bucket_count.at[h].set(0)
+    return HashGrid(
+        sorted_items=sorted_items,
+        bucket_start=bucket_start,
+        bucket_count=bucket_count,
+    )
+
+
+def _rank_and_prev(offsets: jax.Array, budget: int):
+    """For each budget slot b: the index of the cell it falls into (the count
+    of inclusive cumulative cell counts <= b) and that cell's cumulative
+    offset.  Computed as fused compare-reduces over the cell axis — pure VPU
+    work, no gathers (a bisection via ``take_along_axis`` measured ~10x
+    slower on TPU).
+
+    ``offsets``: i32[M, S] nondecreasing per row. Returns ``(cell_of_b
+    i32[M, B], prev_off i32[M, B])``.
+    """
+    b = jnp.arange(budget, dtype=jnp.int32)[None, None, :]  # [1,1,B]
+    le = offsets[:, :, None] <= b  # [M,S,B], fused into the reduces below
+    cell_of_b = jnp.sum(le.astype(jnp.int32), axis=1)
+    # offsets is nondecreasing, so the largest offset <= b is the cumulative
+    # count before slot b's cell.
+    prev_off = jnp.max(
+        jnp.where(le, offsets[:, :, None], 0), axis=1
+    )
+    return cell_of_b, prev_off
 
 
 def gather_candidates(
@@ -114,9 +183,9 @@ def gather_candidates(
 ):
     """Densely gather up to ``budget`` candidate items per query item.
 
-    For each queried cell, ``searchsorted`` yields its entry range in the
-    sorted table; ranges are packed back-to-back via a per-item cumulative
-    count so the budget is spent only on occupied cells.
+    Each queried cell's (start, count) comes from the direct-address tables;
+    ranges are packed back-to-back via a per-item cumulative count so the
+    budget is spent only on occupied cells.
 
     Exceeding ``per_cell_cap`` or ``budget`` degrades gracefully — excess
     candidates are dropped, exactly as over-dense regions are already
@@ -128,15 +197,17 @@ def gather_candidates(
     overflow bool[M])``.
     """
     m, s, _ = query_coords.shape
-    keys = cell_hash(
-        query_coords[..., 0], query_coords[..., 1], query_coords[..., 2]
-    )
-    keys = jnp.where(query_valid, keys, _EMPTY_KEY)
+    h = grid.num_slots
+    slot = (
+        cell_hash(
+            query_coords[..., 0], query_coords[..., 1], query_coords[..., 2]
+        )
+        & jnp.uint32(h - 1)
+    ).astype(jnp.int32)
+    slot = jnp.where(query_valid, slot, h)
 
-    flat = keys.reshape(m * s)
-    start = jnp.searchsorted(grid.sorted_keys, flat, side="left").reshape(m, s)
-    end = jnp.searchsorted(grid.sorted_keys, flat, side="right").reshape(m, s)
-    count = jnp.where(query_valid, end - start, 0)
+    start = grid.bucket_start[slot]  # [M,S]
+    count = grid.bucket_count[slot]
     cell_overflow = count > hard_cap
     count = jnp.minimum(count, per_cell_cap)
 
@@ -144,18 +215,9 @@ def gather_candidates(
     total = offsets[:, -1]
     overflow = jnp.any(cell_overflow, axis=-1) | (total > hard_cap)
 
-    b = jnp.arange(budget, dtype=jnp.int32)[None, :]  # [1,B]
-    # Which cell does budget slot b fall into? First cell whose inclusive
-    # cumsum exceeds b.
-    cell_of_b = jax.vmap(
-        lambda offs, bb: jnp.searchsorted(offs, bb, side="right")
-    )(offsets, jnp.broadcast_to(b, (m, budget)))
+    b = jnp.broadcast_to(jnp.arange(budget, dtype=jnp.int32)[None, :], (m, budget))
+    cell_of_b, prev_off = _rank_and_prev(offsets, budget)
     cell_of_b = jnp.minimum(cell_of_b, s - 1)
-    prev_off = jnp.where(
-        cell_of_b > 0,
-        jnp.take_along_axis(offsets, jnp.maximum(cell_of_b - 1, 0), axis=-1),
-        0,
-    )
     within = b - prev_off
     entry = jnp.take_along_axis(start, cell_of_b, axis=-1) + within
     cand_valid = b < jnp.minimum(total, budget)[:, None]

@@ -50,10 +50,24 @@ def project_position(batch: PositionBatch) -> jax.Array:
     return batch.target
 
 
-def _deformation_gradient(x: jax.Array, batch: TetBatch) -> jax.Array:
+def gather_tet_nodes(x: jax.Array, batch: TetBatch, contiguous: bool) -> jax.Array:
+    """Node positions per tet, ``[C,4,3]``.
+
+    ``contiguous=True`` (host-detected element-major layout: ``idx`` is
+    exactly arange) turns the random gather into a reshape — TPU random
+    gathers run ~30M elem/s, reshapes at full HBM bandwidth."""
+    c = batch.idx.shape[0]
+    if contiguous:
+        return jax.lax.dynamic_slice_in_dim(x, 0, 4 * c).reshape(c, 4, 3)
+    return x[batch.idx]
+
+
+def _deformation_gradient(
+    x: jax.Array, batch: TetBatch, contiguous: bool = False
+) -> jax.Array:
     """``F = P·Qinv`` with P's columns the current edges
     (``Constraints.cpp:85-91``)."""
-    p = x[batch.idx]  # [C,4,3]
+    p = gather_tet_nodes(x, batch, contiguous)  # [C,4,3]
     edges = jnp.stack(
         [p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1
     )  # [C,3,3] columns = edges
@@ -70,14 +84,16 @@ def _projected_from_fhat(fhat: jax.Array) -> jax.Array:
     )
 
 
-def project_strain(x: jax.Array, batch: TetBatch) -> jax.Array:
+def project_strain(
+    x: jax.Array, batch: TetBatch, contiguous: bool = False
+) -> jax.Array:
     """Strain-limiting projection (``Constraints.cpp:76-128``): clamp the
     singular values of F to ``[minStrain, maxStrain]``, negating σ₃ when the
     element is inverted (``det F < 0``).
 
     Returns ``f32[C, 4, 3]``.
     """
-    f = _deformation_gradient(x, batch)
+    f = _deformation_gradient(x, batch, contiguous)
     u, sigma, v = math3d.svd3x3(f)
     s_hat = jnp.clip(sigma, batch.lo[:, None], batch.hi[:, None])
     inverted = math3d.det3x3(f) < 0.0
@@ -106,9 +122,11 @@ def _compute_d(sigma: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     return d
 
 
-def project_volume(x: jax.Array, batch: TetBatch) -> jax.Array:
+def project_volume(
+    x: jax.Array, batch: TetBatch, contiguous: bool = False
+) -> jax.Array:
     """Volume-preservation projection (``Constraints.cpp:205-255``)."""
-    f = _deformation_gradient(x, batch)
+    f = _deformation_gradient(x, batch, contiguous)
     u, sigma, v = math3d.svd3x3(f)
     s_hat = sigma + _compute_d(sigma, batch.lo, batch.hi)
     fhat = _einsum("cij,cj,ckj->cik", u, s_hat, v)

@@ -89,6 +89,8 @@ class CollisionBudget:
     # Fixed capacity of the per-substep point-triangle contact buffer; the
     # host sizes this from the scene's triangle count.
     max_point_tri_contacts: int = 256
+    # Narrowphase budget after the AABB-overlap prefilter (true neighbors).
+    max_narrow_candidates: int = 32
     # Node-node broadphase (PBD path): neighbor candidates per node.
     max_candidates_per_node: int = 32
     max_cells_per_node: int = 27
@@ -104,10 +106,11 @@ class StepConfig:
     collision_stabilization_iterations: int = 4
     # Conjugate-gradient iterations for the PD global step.  The reference
     # solves exactly with a prefactored sparse Cholesky (Solver.cpp:212-215);
-    # matrix-free Jacobi-PCG replaces it (SURVEY §2.7 item 6).  24 iterations
-    # reach well below float32 constraint-residual noise on the canonical
-    # scenes; fidelity tests crank this up and compare against a dense solve.
-    cg_iterations: int = 24
+    # matrix-free Jacobi-PCG replaces it (SURVEY §2.7 item 6).  16 iterations
+    # reach constraint residuals at float32 noise on the canonical scenes
+    # (the warm start from the previous iteration's positions does most of
+    # the work); fidelity tests crank this up and compare to a dense solve.
+    cg_iterations: int = 16
     # Müller rotation-extraction iterations for shape matching.  The reference
     # runs up to 100 with an early break (ShapeMatchingConstraint.cpp:79-93);
     # the iteration is a no-op after convergence so a fixed count is exact.
@@ -126,6 +129,13 @@ class StepConfig:
     # (quirk-faithful multi-cell insertion matching the reference's bucket
     # semantics; see collision/broadphase.py).
     broadphase_mode: str = "celllist"
+    # Element-major layout specializations, set by the host when the builder
+    # detects them.  TPU random gathers run ~30M/s and scatters ~9M/s; when
+    # a batch's node indices are exactly arange (element-major emission, e.g.
+    # tet soups), its gathers become reshapes and its scatter-adds become
+    # slice adds — both full-bandwidth.
+    strain_contiguous: bool = False
+    volume_contiguous: bool = False
     budget: CollisionBudget = CollisionBudget()
     dtype: str = "float32"
 

@@ -66,6 +66,8 @@ def local_step(
     floor_height: jax.Array,
     rotation_iterations: int,
     reference_quirks: bool,
+    strain_contiguous: bool = False,
+    volume_contiguous: bool = False,
 ) -> LocalStep:
     """Project every constraint type onto its manifold from the *same*
     positions — exactly the reference's local step, which reads node state
@@ -76,8 +78,8 @@ def local_step(
     return LocalStep(
         distance=proj.project_distance(x, topo.distance),
         position=proj.project_position(topo.position),
-        strain=proj.project_strain(x, topo.strain),
-        volume=proj.project_volume(x, topo.volume),
+        strain=proj.project_strain(x, topo.strain, strain_contiguous),
+        volume=proj.project_volume(x, topo.volume, volume_contiguous),
         bend=proj.project_bend(x, inv_mass, topo.bend),
         shape=shape_p,
         goal=proj.project_goal(topo.goal),
@@ -87,11 +89,25 @@ def local_step(
     )
 
 
+def _tet_scatter_add(
+    y: jax.Array, batch, vals: jax.Array, contiguous: bool
+) -> jax.Array:
+    """Scatter per-tet 4-node contributions; a slice-add when the layout is
+    element-major (TPU scatter-adds run ~9M rows/s, slice adds at full
+    bandwidth)."""
+    c = batch.idx.shape[0]
+    if contiguous:
+        return y.at[: 4 * c].add(vals.reshape(4 * c, 3))
+    return y.at[batch.idx].add(vals)
+
+
 def assemble_force(
     msn_h2: jax.Array,
     local: LocalStep,
     topo: Topology,
     colls: CollisionSet,
+    strain_contiguous: bool = False,
+    volume_contiguous: bool = False,
 ) -> jax.Array:
     """Global force vector: ``b = M·sₙ/h² + Σ w·AᵀB·p``
     (``Solver.cpp:266,310-349``)."""
@@ -108,9 +124,12 @@ def assemble_force(
     f = f.at[p.idx].add(p.w[:, None] * local.position)
 
     # Tets: Aᵀ p = Gᵀ · p[1:4] (B = I, rows 1..3 of p are F̂'s columns).
-    for batch, pl in ((topo.strain, local.strain), (topo.volume, local.volume)):
+    for batch, pl, contig in (
+        (topo.strain, local.strain, strain_contiguous),
+        (topo.volume, local.volume, volume_contiguous),
+    ):
         contrib = _einsum("cja,cjd->cad", batch.g, pl[:, 1:4, :])
-        f = f.at[batch.idx].add(batch.w[:, None, None] * contrib)
+        f = _tet_scatter_add(f, batch, batch.w[:, None, None] * contrib, contig)
 
     # Bend: AᵀB = I₄ (Constraints.cpp:390-391).
     b = topo.bend
@@ -135,14 +154,32 @@ def assemble_force(
     return f
 
 
+def static_collision_diag(
+    colls: CollisionSet, num_nodes: int, dtype
+) -> jax.Array:
+    """Dense per-node diagonal of the floor-contact constraints, built once
+    per substep.  Floor contacts are diagonal-only (A = B = I per node,
+    CollisionConstraint.cpp:442-445), so folding them into a dense vector
+    removes an S-sized scatter from every CG apply (TPU scatters run ~9M
+    rows/s; the operator runs ~100x per substep)."""
+    return jax.ops.segment_sum(
+        W_STATIC * colls.static_mask, colls.static_idx, num_segments=num_nodes
+    ).astype(dtype)
+
+
 def apply_system(
     x: jax.Array,
     mass_over_h2: jax.Array,
     topo: Topology,
     colls: CollisionSet,
+    strain_contiguous: bool = False,
+    volume_contiguous: bool = False,
+    static_diag: jax.Array | None = None,
 ) -> jax.Array:
     """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
-    y = mass_over_h2[:, None] * x
+    if static_diag is None:
+        static_diag = static_collision_diag(colls, x.shape[0], x.dtype)
+    y = (mass_over_h2 + static_diag)[:, None] * x
 
     d = topo.distance
     xa = x[d.idx[:, 0]]
@@ -154,11 +191,14 @@ def apply_system(
     p = topo.position
     y = y.at[p.idx].add(p.w[:, None] * x[p.idx])
 
-    for batch in (topo.strain, topo.volume):
-        xg = x[batch.idx]  # [C,4,3]
+    for batch, contig in (
+        (topo.strain, strain_contiguous),
+        (topo.volume, volume_contiguous),
+    ):
+        xg = proj.gather_tet_nodes(x, batch, contig)  # [C,4,3]
         e = _einsum("cja,cad->cjd", batch.g, xg)  # G x
         contrib = _einsum("cja,cjd->cad", batch.g, e)  # Gᵀ (G x)
-        y = y.at[batch.idx].add(batch.w[:, None, None] * contrib)
+        y = _tet_scatter_add(y, batch, batch.w[:, None, None] * contrib, contig)
 
     b = topo.bend
     y = y.at[b.idx].add(b.w[:, None, None] * x[b.idx])
@@ -172,9 +212,6 @@ def apply_system(
     contrib = _einsum("ab,kbd->kad", ata, xg)
     wk = W_POINT_TRI * colls.pt_mask
     y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
-
-    ws = W_STATIC * colls.static_mask
-    y = y.at[colls.static_idx].add(ws[:, None] * x[colls.static_idx])
     return y
 
 
@@ -188,7 +225,7 @@ def system_diag(
     ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=diag.dtype)  # [4]
     wk = W_POINT_TRI * colls.pt_mask
     diag = diag.at[colls.pt_idx].add(wk[:, None] * ata_d[None, :])
-    diag = diag.at[colls.static_idx].add(W_STATIC * colls.static_mask)
+    diag = diag + static_collision_diag(colls, diag.shape[0], diag.dtype)
     return diag
 
 

@@ -38,13 +38,17 @@ from .step import tick as tick_fn
 _F32 = np.float32
 
 
+def _round_up8(n: int) -> int:
+    return max(8, -(-n // 8) * 8)
+
+
 class Solver:
     def __init__(
         self,
         options: SolverOptions | None = None,
         *,
         seed: int = 0,
-        cg_iterations: int = 24,
+        cg_iterations: int = 16,
         rotation_iterations: int = 20,
         enable_collisions: bool = True,
         reference_quirks: bool = True,
@@ -299,6 +303,20 @@ class Solver:
         )
 
         budget = self._budget or self._auto_budget(positions, tris)
+
+        def _is_contiguous(idx_list):
+            if not idx_list:
+                return False
+            idx = np.concatenate(idx_list)
+            n4 = idx.size
+            cap4 = 4 * _round_up8(idx.shape[0])
+            return (
+                cap4 <= cap
+                and np.array_equal(idx.reshape(-1), np.arange(n4, dtype=idx.dtype))
+            )
+
+        strain_contiguous = _is_contiguous(b.strain_idx)
+        volume_contiguous = _is_contiguous(b.volume_idx)
         # Cell-list cell size: largest triangle extent with headroom for
         # deformation and per-substep sweep; retunable without recompiling.
         if tris.shape[0]:
@@ -316,6 +334,8 @@ class Solver:
             enable_collisions=self._enable_collisions,
             reference_quirks=self._reference_quirks,
             broadphase_mode=self._broadphase_mode,
+            strain_contiguous=strain_contiguous,
+            volume_contiguous=volume_contiguous,
             budget=budget,
         )
         self._prepared_nodes = num_live
@@ -339,8 +359,8 @@ class Solver:
             return CollisionBudget(
                 max_cells_per_tri=96,
                 max_entries_per_cell=32,
-                max_candidates_per_tri=160,
-                max_point_tri_contacts=max(256, 8 * tris.shape[0]),
+                max_candidates_per_tri=96,
+                max_point_tri_contacts=max(256, tris.shape[0]),
             )
         scale = 1.0 if self._reference_quirks else self._options.grid_spacing
         p = positions[tris] / scale  # [T,3,3]

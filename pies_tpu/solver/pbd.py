@@ -98,7 +98,7 @@ def pbd_substep(
         # the origin.  Non-quirk mode re-centers the projected tet on the
         # current centroid (the physically-intended update).
         s = topo.strain
-        ps = proj.project_strain(x, s)
+        ps = proj.project_strain(x, s, config.strain_contiguous)
         if not config.reference_quirks:
             center = jnp.mean(x[s.idx], axis=1, keepdims=True)
             ps = ps - jnp.mean(ps, axis=1, keepdims=True) + center

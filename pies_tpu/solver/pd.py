@@ -55,8 +55,17 @@ def pd_substep(
 
     mass_over_h2 = state.mass / h2
     diag = assembly.system_diag(mass_over_h2, topo, colls)
+    static_diag = assembly.static_collision_diag(
+        colls, state.capacity, x.dtype
+    )
     matvec = partial(
-        assembly.apply_system, mass_over_h2=mass_over_h2, topo=topo, colls=colls
+        assembly.apply_system,
+        mass_over_h2=mass_over_h2,
+        topo=topo,
+        colls=colls,
+        strain_contiguous=config.strain_contiguous,
+        volume_contiguous=config.volume_contiguous,
+        static_diag=static_diag,
     )
 
     def iteration(_, carry):
@@ -72,8 +81,17 @@ def pd_substep(
             params.floor_height,
             config.rotation_iterations,
             config.reference_quirks,
+            config.strain_contiguous,
+            config.volume_contiguous,
         )
-        force = assembly.assemble_force(msn_h2, local, topo, colls)
+        force = assembly.assemble_force(
+            msn_h2,
+            local,
+            topo,
+            colls,
+            config.strain_contiguous,
+            config.volume_contiguous,
+        )
         x_new, residual = assembly.pcg_solve(
             lambda v: matvec(v), force, x, diag, config.cg_iterations
         )
