@@ -311,24 +311,25 @@ def _ccd_and_compact(
 
         # CCD: each corner of the query triangle vs the candidate triangle,
         # relative to the candidate's first node (Solver.cpp:777-788).
+        # Corners are unrolled so every array stays [T,C,3] — 4-D
+        # [T,C,3corners,3] intermediates get their trailing (3,3) padded to
+        # (4,128) tiles by XLA (57x memory at stress scale).
         bp0, bp1 = prev[other[..., 0]], x[other[..., 0]]  # [T,C,3]
         ab0 = prev[other[..., 1]] - bp0
         ac0 = prev[other[..., 2]] - bp0
         ab1 = x[other[..., 1]] - bp1
         ac1 = x[other[..., 2]] - bp1
-        ap0 = own_prev[:, None] - bp0[:, :, None, :]  # [T,C,3corners,3]
-        ap1 = own_now[:, None] - bp1[:, :, None, :]
 
-        hit, _ = point_triangle_ccd(
-            ap0,
-            ab0[:, :, None, :],
-            ac0[:, :, None, :],
-            ap1,
-            ab1[:, :, None, :],
-            ac1[:, :, None, :],
-            params.collision_threshold_distance,
-        )  # [T,C,3]
-        hit = hit & pair_ok[..., None]
+        hits = []
+        for corner in range(3):
+            ap0 = own_prev[:, corner][:, None] - bp0  # [T,C,3]
+            ap1 = own_now[:, corner][:, None] - bp1
+            hit_c, _ = point_triangle_ccd(
+                ap0, ab0, ac0, ap1, ab1, ac1,
+                params.collision_threshold_distance,
+            )  # [T,C]
+            hits.append(hit_c & pair_ok)
+        hit = jnp.stack(hits, axis=-1)  # [T,C,3]
 
         flat_hit = hit.reshape(-1)  # [T*C*3]
         pos = count + jnp.cumsum(flat_hit.astype(jnp.int32)) - 1

@@ -136,6 +136,15 @@ class StepConfig:
     # slice adds — both full-bandwidth.
     strain_contiguous: bool = False
     volume_contiguous: bool = False
+    # How point-triangle contacts enter the PD global operator:
+    #  * "full": the exact w·AᵀA block, like the reference's collision matrix
+    #    (Solver.cpp:242-262) — costs a contact-buffer gather+scatter in every
+    #    CG apply (~100 applies/substep);
+    #  * "diagonal": only the AᵀA diagonal, folded into the dense per-node
+    #    diagonal once per substep (off-diagonal coupling via the RHS only).
+    #    Cheaper, but measured too soft for the stiff 1e4 contact weights —
+    #    stacked bodies sink; kept as an experimental option.
+    contact_coupling: str = "full"
     budget: CollisionBudget = CollisionBudget()
     dtype: str = "float32"
 

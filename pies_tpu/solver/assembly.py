@@ -167,6 +167,18 @@ def static_collision_diag(
     ).astype(dtype)
 
 
+def point_tri_collision_diag(
+    colls: CollisionSet, num_nodes: int, dtype
+) -> jax.Array:
+    """Dense per-node AᵀA diagonal of the point-triangle contacts (for
+    ``contact_coupling="diagonal"``), built once per substep."""
+    ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=dtype)  # [4]
+    contrib = (W_POINT_TRI * colls.pt_mask)[:, None] * ata_d[None, :]
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), colls.pt_idx.reshape(-1), num_segments=num_nodes
+    ).astype(dtype)
+
+
 def apply_system(
     x: jax.Array,
     mass_over_h2: jax.Array,
@@ -175,10 +187,15 @@ def apply_system(
     strain_contiguous: bool = False,
     volume_contiguous: bool = False,
     static_diag: jax.Array | None = None,
+    contact_coupling: str = "full",
 ) -> jax.Array:
     """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
     if static_diag is None:
         static_diag = static_collision_diag(colls, x.shape[0], x.dtype)
+        if contact_coupling == "diagonal":
+            static_diag = static_diag + point_tri_collision_diag(
+                colls, x.shape[0], x.dtype
+            )
     y = (mass_over_h2 + static_diag)[:, None] * x
 
     d = topo.distance
@@ -207,11 +224,12 @@ def apply_system(
         wm = grp.w[grp.group_idx] * grp.member_mask
         y = y.at[grp.node_idx].add(wm[:, None] * x[grp.node_idx])
 
-    ata = jnp.asarray(ATA_DIFF4, dtype=x.dtype)
-    xg = x[colls.pt_idx]
-    contrib = _einsum("ab,kbd->kad", ata, xg)
-    wk = W_POINT_TRI * colls.pt_mask
-    y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+    if contact_coupling == "full":
+        ata = jnp.asarray(ATA_DIFF4, dtype=x.dtype)
+        xg = x[colls.pt_idx]
+        contrib = _einsum("ab,kbd->kad", ata, xg)
+        wk = W_POINT_TRI * colls.pt_mask
+        y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
     return y
 
 

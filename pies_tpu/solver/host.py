@@ -53,6 +53,7 @@ class Solver:
         enable_collisions: bool = True,
         reference_quirks: bool = True,
         broadphase_mode: str = "celllist",
+        contact_coupling: str = "full",
         budget: CollisionBudget | None = None,
         node_capacity: int | None = None,
     ):
@@ -63,6 +64,7 @@ class Solver:
         self._enable_collisions = enable_collisions
         self._reference_quirks = reference_quirks
         self._broadphase_mode = broadphase_mode
+        self._contact_coupling = contact_coupling
         self._broadphase_cell = 1.0
         self._budget = budget
         self._node_capacity = node_capacity
@@ -295,12 +297,15 @@ class Solver:
                 kind="goal",
             ),
         )
-        self._topology = topo_mod.assemble_topology(
+        topology = topo_mod.assemble_topology(
             cap,
             triangles=tris,
             tets=cat(b.tets, (0, 4)).astype(np.int32),
             **batches,
         )
+        # One batched transfer for the whole scene (state + topology):
+        # per-array uploads through a remote-TPU tunnel measured ~5s each.
+        self._state, self._topology = jax.device_put((self._state, topology))
 
         budget = self._budget or self._auto_budget(positions, tris)
 
@@ -334,6 +339,7 @@ class Solver:
             enable_collisions=self._enable_collisions,
             reference_quirks=self._reference_quirks,
             broadphase_mode=self._broadphase_mode,
+            contact_coupling=self._contact_coupling,
             strain_contiguous=strain_contiguous,
             volume_contiguous=volume_contiguous,
             budget=budget,
@@ -360,7 +366,7 @@ class Solver:
                 max_cells_per_tri=96,
                 max_entries_per_cell=32,
                 max_candidates_per_tri=96,
-                max_point_tri_contacts=max(256, tris.shape[0]),
+                max_point_tri_contacts=max(256, -(-tris.shape[0] // 8) // 8 * 8 + 8),
             )
         scale = 1.0 if self._reference_quirks else self._options.grid_spacing
         p = positions[tris] / scale  # [T,3,3]

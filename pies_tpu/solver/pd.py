@@ -58,6 +58,10 @@ def pd_substep(
     static_diag = assembly.static_collision_diag(
         colls, state.capacity, x.dtype
     )
+    if config.contact_coupling == "diagonal":
+        static_diag = static_diag + assembly.point_tri_collision_diag(
+            colls, state.capacity, x.dtype
+        )
     matvec = partial(
         assembly.apply_system,
         mass_over_h2=mass_over_h2,
@@ -66,6 +70,7 @@ def pd_substep(
         strain_contiguous=config.strain_contiguous,
         volume_contiguous=config.volume_contiguous,
         static_diag=static_diag,
+        contact_coupling=config.contact_coupling,
     )
 
     def iteration(_, carry):

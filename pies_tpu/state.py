@@ -113,18 +113,19 @@ def make_state(
     quats = np.zeros((max(num_shape_groups, 1), 4), dtype=np.float32)
     quats[:, 0] = 1.0  # identity rotation (w, x, y, z)
 
-    as_dev = lambda x: jnp.asarray(x, dtype=dtype)
+    # NumPy leaves: the caller uploads the whole pytree in one device_put.
+    as_dev = lambda x: np.asarray(x, dtype=np.float32)
     return SolverState(
         positions=as_dev(pos_full),
         prev_positions=as_dev(pos_full),
         velocities=as_dev(vel_full),
-        forces=jnp.zeros((capacity, 3), dtype=dtype),
+        forces=np.zeros((capacity, 3), np.float32),
         inv_mass=as_dev(inv_mass_full),
         mass=as_dev(mass_full),
         radius=as_dev(radius_full),
         node_mask=as_dev(mask_full),
         shape_quats=as_dev(quats),
-        sim_failed=jnp.asarray(False),
+        sim_failed=np.asarray(False),
     )
 
 

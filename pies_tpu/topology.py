@@ -8,7 +8,9 @@ that every kernel is a fixed-shape gather → project → scatter.
 
 Everything here is built on the host in NumPy at scene-construction time (the
 reference's analogous precompute: ``createDistanceConstraint`` etc. in
-``Constraints.cpp:39-56,130-184,257-310``) and uploaded once.  The
+``Constraints.cpp:39-56,130-184,257-310``).  Leaves stay NumPy; the host
+uploads the whole pytree with ONE ``jax.device_put`` (per-array transfers
+measured minutes of tunnel latency at stress-scene scale).  The
 ``Topology`` pytree is a *traced* argument of the compiled step — its shapes
 are static but its values are not, so e.g. goal-constraint transforms
 (``updateFixedRegions``, ``PrimitiveUtilities.cpp:114-128``) can be updated
@@ -161,9 +163,9 @@ def build_distance(
     ).astype(_F32)
     cap = cap or _round_up(idx.shape[0], 8)
     return DistanceBatch(
-        idx=jnp.asarray(_pad2(idx, cap)),
-        rest=jnp.asarray(_pad2(rest, cap)),
-        w=jnp.asarray(_pad2(w, cap)),
+        idx=np.asarray(_pad2(idx, cap)),
+        rest=np.asarray(_pad2(rest, cap)),
+        w=np.asarray(_pad2(w, cap)),
     )
 
 
@@ -176,9 +178,9 @@ def build_position(
     target = positions[idx].astype(_F32)
     cap = cap or _round_up(idx.shape[0], 8)
     return PositionBatch(
-        idx=jnp.asarray(_pad2(idx, cap)),
-        target=jnp.asarray(_pad2(target, cap)),
-        w=jnp.asarray(_pad2(w, cap)),
+        idx=np.asarray(_pad2(idx, cap)),
+        target=np.asarray(_pad2(target, cap)),
+        w=np.asarray(_pad2(w, cap)),
     )
 
 
@@ -223,12 +225,12 @@ def build_tets(
     pad_qinv = _pad2(qinv, cap)
     pad_g = _pad2(g, cap)
     return TetBatch(
-        idx=jnp.asarray(_pad2(idx, cap)),
-        qinv=jnp.asarray(pad_qinv),
-        g=jnp.asarray(pad_g),
-        lo=jnp.asarray(_pad2(lo, cap)),
-        hi=jnp.asarray(_pad2(hi, cap)),
-        w=jnp.asarray(_pad2(w, cap)),
+        idx=np.asarray(_pad2(idx, cap)),
+        qinv=np.asarray(pad_qinv),
+        g=np.asarray(pad_g),
+        lo=np.asarray(_pad2(lo, cap)),
+        hi=np.asarray(_pad2(hi, cap)),
+        w=np.asarray(_pad2(w, cap)),
     )
 
 
@@ -252,9 +254,9 @@ def build_bend(
         rest = np.zeros((0,), _F32)
     cap = cap or _round_up(n, 8)
     return BendBatch(
-        idx=jnp.asarray(_pad2(idx, cap)),
-        rest_angle=jnp.asarray(_pad2(rest, cap)),
-        w=jnp.asarray(_pad2(w, cap)),
+        idx=np.asarray(_pad2(idx, cap)),
+        rest_angle=np.asarray(_pad2(rest, cap)),
+        w=np.asarray(_pad2(w, cap)),
     )
 
 
@@ -313,17 +315,17 @@ def build_groups(
     g_cap = group_cap or max(1, _round_up(num_groups, 1))
     transforms = np.tile(np.eye(4, dtype=_F32), (g_cap, 1, 1))
     return GroupBatch(
-        node_idx=jnp.asarray(_pad2(node_idx, m_cap)),
-        group_idx=jnp.asarray(_pad2(group_idx, m_cap, fill=max(0, g_cap - 1))),
-        mat_coords=jnp.asarray(_pad2(mats, m_cap)),
-        member_mask=jnp.asarray(
+        node_idx=np.asarray(_pad2(node_idx, m_cap)),
+        group_idx=np.asarray(_pad2(group_idx, m_cap, fill=max(0, g_cap - 1))),
+        mat_coords=np.asarray(_pad2(mats, m_cap)),
+        member_mask=np.asarray(
             _pad2(np.ones(node_idx.shape[0], _F32), m_cap)
         ),
-        w=jnp.asarray(_pad2(weights, g_cap)),
-        group_mask=jnp.asarray(_pad2(np.ones(num_groups, _F32), g_cap)),
-        inv_count=jnp.asarray(_pad2(inv_counts, g_cap, fill=1)),
-        qinv=jnp.asarray(_pad2(qinvs, g_cap)),
-        transforms=jnp.asarray(transforms),
+        w=np.asarray(_pad2(weights, g_cap)),
+        group_mask=np.asarray(_pad2(np.ones(num_groups, _F32), g_cap)),
+        inv_count=np.asarray(_pad2(inv_counts, g_cap, fill=1)),
+        qinv=np.asarray(_pad2(qinvs, g_cap)),
+        transforms=np.asarray(transforms),
     )
 
 
@@ -404,10 +406,10 @@ def assemble_topology(
         np.add.at(diag, np.asarray(grp.node_idx), gw)
 
     return Topology(
-        triangles=jnp.asarray(_pad2(tris, tcap)),
-        tri_mask=jnp.asarray(_pad2(np.ones(tris.shape[0], _F32), tcap)),
-        tets=jnp.asarray(_pad2(tetarr, kcap)),
-        tet_mask=jnp.asarray(_pad2(np.ones(tetarr.shape[0], _F32), kcap)),
-        stiffness_diag=jnp.asarray(diag.astype(_F32)),
+        triangles=np.asarray(_pad2(tris, tcap)),
+        tri_mask=np.asarray(_pad2(np.ones(tris.shape[0], _F32), tcap)),
+        tets=np.asarray(_pad2(tetarr, kcap)),
+        tet_mask=np.asarray(_pad2(np.ones(tetarr.shape[0], _F32), kcap)),
+        stiffness_diag=np.asarray(diag.astype(_F32)),
         **fields,
     )
