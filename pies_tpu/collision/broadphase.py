@@ -121,9 +121,12 @@ def _detect_point_tri_celllist(
     pt_idx, pt_mask, total = _ccd_and_compact(
         x, prev, triangles, cand, cand_valid, params, config, lo, hi, margin
     )
-    # Contact-buffer overflow drops the excess (re-detected next substep);
-    # only the reference-scale bucket explosions latch sim failure.
-    overflow = size_over | jnp.any(q_over & live) | jnp.any(gather_over & live)
+    # Contact-buffer and query-cell overflow drop the excess gracefully
+    # (re-detected next substep; far query cells are the least likely to
+    # hold contacts); only oversized items and reference-scale bucket
+    # explosions latch sim failure.
+    del q_over
+    overflow = size_over | jnp.any(gather_over & live)
     return pt_idx, pt_mask, overflow
 
 
@@ -229,14 +232,16 @@ def _aabb_prefilter_pack(
     AABB test is 2 gathers — packing before the narrowphase is the win.
     """
     t, b = cand.shape
+    aabb6 = jnp.concatenate([lo, hi], axis=-1)  # one 6-wide row per tri:
+    # a single gather per candidate instead of two (gathers dominate).
     overlap = jnp.zeros((t, b), bool)
     chunk = 32
     for c0 in range(0, b, chunk):  # chunked to bound gather intermediates
         cc = cand[:, c0 : c0 + chunk]
-        lo_c = lo[cc]  # [T,ch,3]
-        hi_c = hi[cc]
+        ab = aabb6[cc]  # [T,ch,6]
         ov = jnp.all(
-            (lo_c <= hi[:, None] + margin) & (hi_c >= lo[:, None] - margin),
+            (ab[..., :3] <= hi[:, None] + margin)
+            & (ab[..., 3:] >= lo[:, None] - margin),
             axis=-1,
         )
         overlap = overlap.at[:, c0 : c0 + chunk].set(
@@ -289,6 +294,9 @@ def _ccd_and_compact(
         cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
         b += pad
 
+    # Packed (prev | now) node rows: one 6-wide gather per corner instead of
+    # two 3-wide ones.
+    xp = jnp.concatenate([prev, x], axis=-1)  # [N,6]
     own = triangles  # [T,3]
     cap = config.budget.max_point_tri_contacts
     tri_ids = jnp.arange(t, dtype=jnp.int32)
@@ -302,34 +310,39 @@ def _ccd_and_compact(
     def step(carry, inp):
         hit_ids, count, chunk_i = carry
         cand_c, valid_c = inp  # [T,C], [T,C]
-        other = triangles[cand_c]  # [T,C,3]
+        # All math on flattened 2-D [T*C, 3] arrays: 3-D [T,C,3] tensors get
+        # tile-padded layouts by XLA (measured ~15x memory at 500k tris).
+        cand_f = cand_c.reshape(-1)  # [T*C]
+        other = triangles[cand_f]  # [T*C,3]
+        own_rep = jnp.repeat(own, chunk, axis=0)  # [T*C,3]
         # Skip self and shared-node pairs (Solver.cpp:757-770).
         shares = jnp.any(
-            own[:, None, :, None] == other[:, :, None, :], axis=(-1, -2)
-        )  # [T,C]
-        pair_ok = valid_c & ~shares & (cand_c != tri_ids[:, None])
+            own_rep[:, :, None] == other[:, None, :], axis=(-1, -2)
+        )  # [T*C]
+        tri_rep = jnp.repeat(tri_ids, chunk)
+        pair_ok = valid_c.reshape(-1) & ~shares & (cand_f != tri_rep)
 
         # CCD: each corner of the query triangle vs the candidate triangle,
         # relative to the candidate's first node (Solver.cpp:777-788).
-        # Corners are unrolled so every array stays [T,C,3] — 4-D
-        # [T,C,3corners,3] intermediates get their trailing (3,3) padded to
-        # (4,128) tiles by XLA (57x memory at stress scale).
-        bp0, bp1 = prev[other[..., 0]], x[other[..., 0]]  # [T,C,3]
-        ab0 = prev[other[..., 1]] - bp0
-        ac0 = prev[other[..., 2]] - bp0
-        ab1 = x[other[..., 1]] - bp1
-        ac1 = x[other[..., 2]] - bp1
+        pb = xp[other[:, 0]]  # [T*C,6] = (prev | now)
+        pc = xp[other[:, 1]]
+        pd_ = xp[other[:, 2]]
+        bp0, bp1 = pb[:, :3], pb[:, 3:]
+        ab0 = pc[:, :3] - bp0
+        ac0 = pd_[:, :3] - bp0
+        ab1 = pc[:, 3:] - bp1
+        ac1 = pd_[:, 3:] - bp1
 
         hits = []
         for corner in range(3):
-            ap0 = own_prev[:, corner][:, None] - bp0  # [T,C,3]
-            ap1 = own_now[:, corner][:, None] - bp1
+            ap0 = jnp.repeat(own_prev[:, corner], chunk, axis=0) - bp0
+            ap1 = jnp.repeat(own_now[:, corner], chunk, axis=0) - bp1
             hit_c, _ = point_triangle_ccd(
                 ap0, ab0, ac0, ap1, ab1, ac1,
                 params.collision_threshold_distance,
-            )  # [T,C]
+            )  # [T*C]
             hits.append(hit_c & pair_ok)
-        hit = jnp.stack(hits, axis=-1)  # [T,C,3]
+        hit = jnp.stack(hits, axis=-1)  # [T*C,3]
 
         flat_hit = hit.reshape(-1)  # [T*C*3]
         pos = count + jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
@@ -337,12 +350,11 @@ def _ccd_and_compact(
         # id encodes (t, global slot b, corner) = (t*B + chunk_i*C + c)*3 + k
         ids = (
             (
-                tri_ids[:, None, None] * b
-                + chunk_i * chunk
-                + jnp.arange(chunk, dtype=jnp.int32)[None, :, None]
+                (tri_rep * b + chunk_i * chunk
+                 + jnp.tile(jnp.arange(chunk, dtype=jnp.int32), t))[:, None]
             )
             * 3
-            + jnp.arange(3, dtype=jnp.int32)[None, None, :]
+            + jnp.arange(3, dtype=jnp.int32)[None, :]
         ).reshape(-1)
         hit_ids = hit_ids.at[dest].set(ids)
         count = count + flat_hit.sum(dtype=jnp.int32)

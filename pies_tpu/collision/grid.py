@@ -98,17 +98,22 @@ def _idiv(a: jax.Array, b: jax.Array) -> jax.Array:
 class HashGrid(NamedTuple):
     """Sorted entries plus direct-address bucket tables.
 
-    ``bucket_start``/``bucket_count`` have one extra slot (index ``H``) that
-    absorbs masked entries and invalid queries.
+    ``bucket_table`` has one extra slot (index ``H``) that absorbs masked
+    entries and invalid queries.  Each slot packs (start, count) into one
+    int32 — start in bits 0..23, count saturated at 127 in bits 24..30 — so
+    a cell query costs ONE gather (random gathers are the dominant cost on
+    TPU, ~32M rows/s).  Entry counts above 2^24 fall back to an unpacked
+    pair of tables.
     """
 
     sorted_items: jax.Array  # i32[E]
-    bucket_start: jax.Array  # i32[H+1]
-    bucket_count: jax.Array  # i32[H+1]
+    bucket_table: jax.Array  # i32[H+1] packed, or None
+    bucket_start: jax.Array | None  # i32[H+1] (fallback only)
+    bucket_count: jax.Array | None
 
     @property
     def num_slots(self) -> int:
-        return self.bucket_start.shape[0] - 1
+        return self.bucket_table.shape[0] - 1
 
 
 def build_grid(
@@ -145,8 +150,17 @@ def build_grid(
         jnp.zeros(h + 1, dtype=jnp.int32).at[sorted_slots].add(1, mode="drop")
     )
     bucket_count = bucket_count.at[h].set(0)
+    if e < (1 << 24):
+        packed = bucket_start | (jnp.minimum(bucket_count, 127) << 24)
+        return HashGrid(
+            sorted_items=sorted_items,
+            bucket_table=packed,
+            bucket_start=None,
+            bucket_count=None,
+        )
     return HashGrid(
         sorted_items=sorted_items,
+        bucket_table=bucket_start,  # num_slots source; unpacked fallback
         bucket_start=bucket_start,
         bucket_count=bucket_count,
     )
@@ -206,9 +220,18 @@ def gather_candidates(
     ).astype(jnp.int32)
     slot = jnp.where(query_valid, slot, h)
 
-    start = grid.bucket_start[slot]  # [M,S]
-    count = grid.bucket_count[slot]
-    cell_overflow = count > hard_cap
+    if grid.bucket_start is None:
+        packed = grid.bucket_table[slot]  # [M,S] — one gather per cell
+        start = packed & ((1 << 24) - 1)
+        count = packed >> 24  # saturated at 127
+        # The reference latches at >1000 entries/bucket; the packed table
+        # saturates counts at 127, so the latch fires at >=127 — stricter,
+        # but only for absurd densities (per-cell use caps are <=32).
+        cell_overflow = count >= 127
+    else:
+        start = grid.bucket_start[slot]  # [M,S]
+        count = grid.bucket_count[slot]
+        cell_overflow = count > hard_cap
     count = jnp.minimum(count, per_cell_cap)
 
     offsets = jnp.cumsum(count, axis=-1)  # [M,S] inclusive

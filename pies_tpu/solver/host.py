@@ -363,7 +363,7 @@ class Solver:
             # Query ranges can reach 4-5 cells per axis when items deform
             # or move fast (extent up to 2 cells + 1 halo cell).
             return CollisionBudget(
-                max_cells_per_tri=96,
+                max_cells_per_tri=32,
                 max_entries_per_cell=32,
                 max_candidates_per_tri=96,
                 max_point_tri_contacts=max(256, -(-tris.shape[0] // 8) // 8 * 8 + 8),
