@@ -35,8 +35,12 @@ def main():
     solver = Solver(
         SolverOptions(solver=SolverName.PD), enable_collisions=True
     )
+    # height 0.5: the soup contacts the floor and itself immediately, so the
+    # measured ticks exercise the full contact pipeline (CCD hits, contact
+    # constraints in the global solve, stabilization, friction) rather than
+    # free fall over an empty broadphase.
     solver.create_tet_soup(
-        n_tets, spacing=1.6, scale=0.8, w=2000.0, height=4.0, jitter=0.05
+        n_tets, spacing=1.6, scale=0.8, w=2000.0, height=0.5, jitter=0.05
     )
     solver._prepare()
     n_particles = solver._builder.num_nodes

@@ -32,7 +32,7 @@ def main():
 
     solver = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
     solver.create_tet_soup(
-        n_tets, spacing=1.6, scale=0.8, w=2000.0, height=4.0, jitter=0.05
+        n_tets, spacing=1.6, scale=0.8, w=2000.0, height=0.5, jitter=0.05
     )
     for _ in range(3):
         solver.tick()
