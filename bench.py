@@ -18,7 +18,6 @@ assumption; 0.0 if the baseline file is absent.
 
 import json
 import os
-import sys
 import time
 
 
@@ -26,8 +25,6 @@ def main():
     n_tets = int(os.environ.get("PIES_BENCH_TETS", 125_000))
     timed_ticks = int(os.environ.get("PIES_BENCH_TICKS", 10))
     warmup = int(os.environ.get("PIES_BENCH_WARMUP", 3))
-
-    import numpy as np
 
     from pies_tpu import Solver
     from pies_tpu.options import SolverName, SolverOptions

@@ -15,10 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.precision import einsum as _einsum
 
 from ..ops.cubic import earliest_root_in_unit_interval
-from ..ops.math3d import inv3x3
 
 
 def _safe_normalize(v: jax.Array) -> jax.Array:

@@ -1,0 +1,131 @@
+"""Observability: constraint residuals, step metrics, profiler hooks.
+
+The reference has no tracing, metrics, or logging of any kind (SURVEY §5 —
+the only host-visible state is ``renderStateDirty``).  This module provides
+the rebuild's observability layer:
+
+* :func:`constraint_residuals` — per-constraint-type violation norms,
+  compiled on device (cheap: one extra projection pass), the quantitative
+  "is the solver converging" signal the reference never had;
+* :func:`solver_stats` — a host-side snapshot combining residuals with the
+  tick timing counters kept by ``Solver``;
+* :func:`trace` — a ``jax.profiler`` context manager for capturing device
+  traces viewable in TensorBoard/XProf.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+
+from .ops import math3d
+from .state import SolverState
+from .topology import Topology
+
+
+def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    return jnp.sum(values * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+@jax.jit
+def constraint_residuals(state: SolverState, topo: Topology) -> dict:
+    """Mean violation per constraint type at the current positions.
+
+    Definitions (all 0 when satisfied):
+
+    * ``distance``: |current length − rest length|
+    * ``position``: |node − pinned target|
+    * ``strain``: distance of F's singular values from [minStrain, maxStrain]
+    * ``volume``: distance of det F from [minOmega, maxOmega]
+    * ``bend``: |dihedral angle − rest angle|
+    * ``floor``: penetration depth below the floor plane (y=0 quirk plane)
+    """
+    x = state.positions
+
+    d = topo.distance
+    length = jnp.linalg.norm(x[d.idx[:, 1]] - x[d.idx[:, 0]], axis=-1)
+    distance_res = _masked_mean(jnp.abs(length - d.rest), (d.w > 0))
+
+    p = topo.position
+    position_res = _masked_mean(
+        jnp.linalg.norm(x[p.idx] - p.target, axis=-1), (p.w > 0)
+    )
+
+    def tet_f(batch):
+        pos = x[batch.idx]
+        edges = jnp.stack(
+            [pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0], pos[:, 3] - pos[:, 0]],
+            axis=-1,
+        )
+        return jnp.einsum(
+            "cij,cjk->cik", edges, batch.qinv,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    s = topo.strain
+    f = tet_f(s)
+    _, sigma, _ = math3d.svd3x3(f)
+    viol = jnp.maximum(s.lo[:, None] - sigma, 0.0) + jnp.maximum(
+        sigma - s.hi[:, None], 0.0
+    )
+    strain_res = _masked_mean(jnp.max(viol, axis=-1), (s.w > 0))
+
+    v = topo.volume
+    det = math3d.det3x3(tet_f(v))
+    vol_viol = jnp.maximum(v.lo - det, 0.0) + jnp.maximum(det - v.hi, 0.0)
+    volume_res = _masked_mean(vol_viol, (v.w > 0))
+
+    b = topo.bend
+    pb = x[b.idx]
+    p2, p3, p4 = pb[:, 1] - pb[:, 0], pb[:, 2] - pb[:, 0], pb[:, 3] - pb[:, 0]
+    n1 = jnp.cross(p2, p3)
+    n2 = jnp.cross(p2, p4)
+    n1 = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-20)
+    n2 = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-20)
+    angle = jnp.arccos(jnp.clip(jnp.sum(n1 * n2, axis=-1), -1.0, 1.0))
+    bend_res = _masked_mean(jnp.abs(angle - b.rest_angle), (b.w > 0))
+
+    floor_pen = _masked_mean(jnp.maximum(-x[:, 1], 0.0), state.node_mask)
+
+    return {
+        "distance": distance_res,
+        "position": position_res,
+        "strain": strain_res,
+        "volume": volume_res,
+        "bend": bend_res,
+        "floor_penetration": floor_pen,
+        "max_speed": jnp.max(
+            jnp.linalg.norm(state.velocities, axis=-1) * state.node_mask
+        ),
+    }
+
+
+def solver_stats(solver) -> dict:
+    """Host-side metrics snapshot for a ``Solver`` instance."""
+    solver._prepare()
+    residuals = {
+        k: float(v)
+        for k, v in constraint_residuals(solver.state, solver.topology).items()
+    }
+    return {
+        "ticks": solver.ticks,
+        "last_tick_seconds": solver.last_tick_seconds,
+        "steps_per_sec": (
+            1.0 / solver.last_tick_seconds if solver.last_tick_seconds else 0.0
+        ),
+        "cg_residual": solver.last_residual,
+        "sim_failed": solver.sim_failed,
+        **residuals,
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device profile: ``with diagnostics.trace("/tmp/prof"): ...``"""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

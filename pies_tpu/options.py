@@ -22,7 +22,6 @@ a Pies user can port a scene setup unchanged, and maps into the two halves.
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 from dataclasses import dataclass
 

@@ -26,7 +26,6 @@ import numpy as np
 from .. import topology as topo_mod
 from ..options import (
     CollisionBudget,
-    SolverName,
     SolverOptions,
     StepConfig,
     make_params,

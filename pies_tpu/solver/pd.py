@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..collision.batches import CollisionSet, detect_floor_contacts, stabilize_point_tri
+from ..collision.batches import CollisionSet, stabilize_point_tri
 from ..options import PhysicsParams, StepConfig
 from ..state import SolverState
 from ..topology import Topology

@@ -19,10 +19,9 @@ every frame without recompiling.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 _F32 = np.float32
