@@ -47,9 +47,97 @@ def detect_point_tri_collisions(
         return _detect_point_tri_reference(
             x, prev, triangles, tri_mask, params, config
         )
+    if config.budget.body_stride > 1:
+        return _detect_point_tri_bodies(
+            x, prev, triangles, tri_mask, params, config
+        )
     return _detect_point_tri_celllist(
         x, prev, triangles, tri_mask, params, config
     )
+
+
+def _detect_point_tri_bodies(
+    x: jax.Array,
+    prev: jax.Array,
+    triangles: jax.Array,
+    tri_mask: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Body-granular cell-list broadphase for uniform-stride scenes.
+
+    When every collision body is exactly ``stride`` contiguous triangles
+    whose members pairwise share nodes (tet soups: 4 faces per tet — the
+    shared-node filter already guarantees intra-body faces never collide,
+    ``Solver.cpp:757-770``), broadphase insertion/gathering runs per *body*:
+    random gathers shrink by ``stride`` (and the candidate gather by
+    ``stride²``).  Candidate bodies surviving a body-level AABB cull expand
+    *arithmetically* (contiguity) back to triangle candidates for the shared
+    tri-level prefilter + CCD narrowphase.
+    """
+    budget = config.budget
+    e = budget.body_stride
+    t = triangles.shape[0]
+    k = t // e
+    cell = params.broadphase_cell
+
+    lo_t, hi_t = _tri_swept_aabb(x, prev, triangles, cell)
+    live_t = tri_mask > 0
+
+    # Body AABB = reduce over its member triangles (contiguous reshape).
+    big = jnp.asarray(3.0e38, x.dtype)
+    lo_b = jnp.min(
+        jnp.where(live_t[:, None], lo_t, big).reshape(k, e, 3), axis=1
+    )
+    hi_b = jnp.max(
+        jnp.where(live_t[:, None], hi_t, -big).reshape(k, e, 3), axis=1
+    )
+    live_b = jnp.any(live_t.reshape(k, e), axis=1)
+    lo_b = jnp.where(live_b[:, None], lo_b, 0.0)
+    hi_b = jnp.where(live_b[:, None], hi_b, 0.0)
+
+    too_big = jnp.any((hi_b - lo_b) > 2.0, axis=-1) & live_b
+    size_over = jnp.any(too_big)
+
+    home = jnp.floor(lo_b).astype(jnp.int32)[:, None, :]
+    hgrid = build_grid(home, live_b[:, None], table_size_for(k))
+    q_coords, q_valid, _ = aabb_cell_slots(
+        lo_b - 1.0, hi_b, budget.max_cells_per_tri, range_cap=8
+    )
+    cand_b, cand_b_valid, gather_over = gather_candidates(
+        hgrid,
+        q_coords,
+        q_valid & live_b[:, None],
+        per_cell_cap=budget.max_entries_per_cell,
+        budget=budget.max_candidates_per_body,
+    )  # i32[K, Bb] body ids
+    cand_b = jnp.minimum(cand_b, k - 1)
+
+    # Body-level AABB cull + pack to the narrow-body budget.
+    margin = params.collision_threshold_distance / cell
+    packed_b, packed_b_valid = _aabb_prefilter_pack(
+        cand_b, cand_b_valid, lo_b, hi_b, margin, budget.max_narrow_bodies
+    )  # [K, NB]
+
+    # Expand to triangle candidates: body kb -> tris kb*e .. kb*e+e-1, and
+    # replicate each body's list to its member triangles (contiguous repeat,
+    # not a gather).
+    cand_tri = (
+        packed_b[:, :, None] * e
+        + jnp.arange(e, dtype=jnp.int32)[None, None, :]
+    ).reshape(k, -1)  # [K, NB*e]
+    valid_tri = jnp.broadcast_to(
+        packed_b_valid[:, :, None], (k, packed_b_valid.shape[1], e)
+    ).reshape(k, -1)
+    cand_tri = jnp.repeat(cand_tri, e, axis=0)  # [T, NB*e]
+    valid_tri = jnp.repeat(valid_tri, e, axis=0) & live_t[:, None]
+
+    pt_idx, pt_mask, total = _ccd_and_compact(
+        x, prev, triangles, cand_tri, valid_tri, params, config,
+        lo_t, hi_t, margin,
+    )
+    overflow = size_over | jnp.any(gather_over & live_b)
+    return pt_idx, pt_mask, overflow
 
 
 def _tri_swept_aabb(x, prev, triangles, scale):

@@ -90,6 +90,16 @@ class CollisionBudget:
     max_point_tri_contacts: int = 256
     # Narrowphase budget after the AABB-overlap prefilter (true neighbors).
     max_narrow_candidates: int = 32
+    # Uniform collision-body stride: when every scene body is exactly this
+    # many contiguous triangles (e.g. 4 faces per tet in a tet soup, detected
+    # by the host), the broadphase runs at body granularity — insertion,
+    # candidate gathering, and the first AABB cull shrink by stride (and the
+    # candidate gather by stride^2).  1 = per-triangle (general scenes).
+    body_stride: int = 1
+    # Candidate bodies gathered per query body (body-stride mode).
+    max_candidates_per_body: int = 24
+    # Surviving candidate bodies after the body-level AABB cull.
+    max_narrow_bodies: int = 8
     # Node-node broadphase (PBD path): neighbor candidates per node.
     max_candidates_per_node: int = 32
     max_cells_per_node: int = 27

@@ -62,8 +62,19 @@ class SceneBuilder:
         self.fixed_regions: list[tuple[np.ndarray, np.ndarray, int]] = []
 
         self.triangles: list[np.ndarray] = []
+        # Body id per emitted triangle (contiguous runs of same-body tris
+        # whose members pairwise share nodes; see topology.Topology).
+        self.tri_bodies: list[np.ndarray] = []
         self.tets: list[np.ndarray] = []
         self.lines: list[np.ndarray] = []
+
+    def _emit_triangles(self, tris: np.ndarray, bodies: np.ndarray | None = None):
+        tris = np.asarray(tris, _I32).reshape(-1, 3)
+        start = sum(b.shape[0] for b in self.tri_bodies)
+        if bodies is None:
+            bodies = start + np.arange(tris.shape[0], dtype=_I32)
+        self.triangles.append(tris)
+        self.tri_bodies.append(np.asarray(bodies, _I32) )
 
     # ------------------------------------------------------------------
     # low-level
@@ -154,7 +165,7 @@ class SceneBuilder:
 
         pairs = _axis_pairs(gid) + _long_diagonal_pairs(gid)
         self._emit_distance(np.concatenate(pairs, axis=0), w)
-        self.triangles.append(_box_surface_tris(gid))
+        self._emit_triangles(_box_surface_tris(gid))
 
     def create_tet_box(
         self,
@@ -179,7 +190,7 @@ class SceneBuilder:
         gid = node_ids.reshape(dims)
         tets = _six_tets_per_cell(gid)
         self._emit_tets(tets, w)
-        self.triangles.append(_box_surface_tris(gid))
+        self._emit_triangles(_box_surface_tris(gid))
 
     def create_sheet(self, translation, scale: float, mass: float, w: float):
         """20x20 cloth (``PrimitiveUtilities.cpp:849-976``): border nodes
@@ -205,7 +216,7 @@ class SceneBuilder:
             _stack_pairs(gid[1:, :-1], gid[:-1, 1:]),
         ]
         self._emit_distance(np.concatenate(pairs, axis=0), w)
-        self.triangles.append(_sheet_tris(gid))
+        self._emit_triangles(_sheet_tris(gid))
 
     def create_shape_matching_box(
         self, translation, count_x, count_y, count_z, scale, initial_velocity, w
@@ -319,7 +330,7 @@ class SceneBuilder:
         bend_all = np.concatenate(bends, axis=0)
         self.bend_idx.append(bend_all)
         self.bend_w.append(np.full(bend_all.shape[0], w, _F32))
-        self.triangles.append(_sheet_tris(gid))
+        self._emit_triangles(_sheet_tris(gid))
 
     # ------------------------------------------------------------------
     # region APIs (Maya-rig driving path)
@@ -401,11 +412,16 @@ class SceneBuilder:
         )
         tets = node_ids.reshape(-1, 4)
         self._emit_tets(tets, w)
-        # Surface tris of each tet (all four faces, outward winding).
+        # Surface tris of each tet (all four faces, outward winding).  The
+        # four faces of one tet pairwise share nodes, so each tet is one
+        # collision body: the broadphase handles its faces via one
+        # representative.
         faces = np.array(
             [[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], _I32
         )
-        self.triangles.append(tets[:, faces].reshape(-1, 3))
+        start_body = sum(b.shape[0] for b in self.tri_bodies)
+        bodies = start_body + np.repeat(np.arange(tets.shape[0], dtype=_I32), 4)
+        self._emit_triangles(tets[:, faces].reshape(-1, 3), bodies)
         return node_ids
 
 

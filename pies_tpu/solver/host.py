@@ -189,7 +189,7 @@ class Solver:
             strain_w=strain_stiffness,
             volume_w=volume_stiffness,
         )
-        b.triangles.append(node_ids[surface])
+        b._emit_triangles(node_ids[surface])
         self._dirty = True
         self.render_state_dirty = True
         return node_ids
@@ -257,6 +257,12 @@ class Solver:
 
         dist_idx = cat(b.dist_idx, (0, 2)).astype(np.int32)
         tris = cat(b.triangles, (0, 3)).astype(np.int32)
+        bodies = (
+            np.concatenate(b.tri_bodies).astype(np.int32)
+            if b.tri_bodies
+            and sum(x.shape[0] for x in b.tri_bodies) == tris.shape[0]
+            else None
+        )
         batches = dict(
             distance=topo_mod.build_distance(
                 dist_idx, positions, cat(b.dist_w, (0,))
@@ -300,13 +306,14 @@ class Solver:
             cap,
             triangles=tris,
             tets=cat(b.tets, (0, 4)).astype(np.int32),
+            tri_bodies=bodies,
             **batches,
         )
         # One batched transfer for the whole scene (state + topology):
         # per-array uploads through a remote-TPU tunnel measured ~5s each.
         self._state, self._topology = jax.device_put((self._state, topology))
 
-        budget = self._budget or self._auto_budget(positions, tris)
+        budget = self._budget or self._auto_budget(positions, tris, bodies)
 
         def _is_contiguous(idx_list):
             if not idx_list:
@@ -346,7 +353,12 @@ class Solver:
         self._prepared_nodes = num_live
         self._dirty = False
 
-    def _auto_budget(self, positions: np.ndarray, tris: np.ndarray) -> CollisionBudget:
+    def _auto_budget(
+        self,
+        positions: np.ndarray,
+        tris: np.ndarray,
+        bodies: np.ndarray | None = None,
+    ) -> CollisionBudget:
         """Size the static collision budgets from the scene's actual triangle
         extents.  In quirk mode the triangle grid has unit cells
         (``Solver.cpp:659-670``), so a triangle's covered-cell count is
@@ -356,9 +368,25 @@ class Solver:
         if tris.shape[0] == 0 or positions.shape[0] == 0:
             return base
         if self._broadphase_mode == "celllist":
-            # Query range is at most 3 cells per axis (extent <= 1 cell plus
-            # one cell of min-side halo); occupancy is bounded by co-homed
-            # triangles.
+            # Uniform-stride collision bodies (e.g. 4 faces per tet) unlock
+            # the body-granular broadphase: insertion and candidate
+            # gathering shrink by the stride (the candidate gather by
+            # stride^2).
+            stride = 1
+            if bodies is not None and bodies.size:
+                _, counts = np.unique(bodies, return_counts=True)
+                e = int(counts[0])
+                starts = np.nonzero(
+                    np.concatenate([[True], bodies[1:] != bodies[:-1]])
+                )[0]
+                cap8 = -(-tris.shape[0] // 8) * 8
+                if (
+                    e > 1
+                    and np.all(counts == e)
+                    and np.all(starts % e == 0)
+                    and cap8 % e == 0
+                ):
+                    stride = e
             # Query ranges can reach 4-5 cells per axis when items deform
             # or move fast (extent up to 2 cells + 1 halo cell).
             return CollisionBudget(
@@ -366,6 +394,8 @@ class Solver:
                 max_entries_per_cell=32,
                 max_candidates_per_tri=96,
                 max_point_tri_contacts=max(256, -(-tris.shape[0] // 8) // 8 * 8 + 8),
+                max_narrow_candidates=16 if stride > 1 else 32,
+                body_stride=stride,
             )
         scale = 1.0 if self._reference_quirks else self._options.grid_spacing
         p = positions[tris] / scale  # [T,3,3]

@@ -137,6 +137,13 @@ class Topology:
     goal: GroupBatch
     triangles: jax.Array  # i32[T, 3] surface triangles (collision + render)
     tri_mask: jax.Array  # f32[T]
+    # Collision bodies: groups of *contiguous* triangles that pairwise share
+    # nodes (e.g. the 4 faces of one tet) never collide among themselves, so
+    # the broadphase inserts/gathers one representative per body and expands
+    # candidates arithmetically.  rep_mask marks each body's first triangle;
+    # body_count (at the representative) is the body's triangle count.
+    tri_rep_mask: jax.Array  # f32[T]
+    tri_body_count: jax.Array  # i32[T]
     tets: jax.Array  # i32[K, 4] (kept for parity with Solver.h:155; unused
     #                              at runtime, like the reference's tet hash)
     tet_mask: jax.Array  # f32[K]
@@ -352,6 +359,7 @@ def assemble_topology(
     triangles: np.ndarray | None = None,
     tets: np.ndarray | None = None,
     tri_cap: int | None = None,
+    tri_bodies: np.ndarray | None = None,  # i32[T] body id per tri, or None
     **batches,
 ) -> Topology:
     """Combine built batches, fill in empties, and precompute the constant
@@ -365,6 +373,23 @@ def assemble_topology(
         else np.zeros((0, 3), _I32)
     )
     tcap = tri_cap or _round_up(tris.shape[0], 8)
+
+    nt = tris.shape[0]
+    if tri_bodies is None:
+        rep = np.ones(nt, _F32)
+        body_count = np.ones(nt, _I32)
+    else:
+        tri_bodies = np.asarray(tri_bodies, _I32).reshape(-1)
+        assert tri_bodies.shape[0] == nt
+        rep = np.zeros(nt, _F32)
+        body_count = np.ones(nt, _I32)
+        if nt:
+            first = np.concatenate([[True], tri_bodies[1:] != tri_bodies[:-1]])
+            # bodies must be contiguous runs
+            starts = np.nonzero(first)[0]
+            ends = np.concatenate([starts[1:], [nt]])
+            rep[starts] = 1.0
+            body_count[starts] = (ends - starts).astype(_I32)
     tetarr = (
         np.asarray(tets, dtype=_I32).reshape(-1, 4)
         if tets is not None
@@ -407,6 +432,8 @@ def assemble_topology(
     return Topology(
         triangles=np.asarray(_pad2(tris, tcap)),
         tri_mask=np.asarray(_pad2(np.ones(tris.shape[0], _F32), tcap)),
+        tri_rep_mask=np.asarray(_pad2(rep, tcap)),
+        tri_body_count=np.asarray(_pad2(body_count, tcap, fill=1)),
         tets=np.asarray(_pad2(tetarr, kcap)),
         tet_mask=np.asarray(_pad2(np.ones(tetarr.shape[0], _F32), kcap)),
         stiffness_diag=np.asarray(diag.astype(_F32)),
