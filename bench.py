@@ -84,5 +84,18 @@ def main():
     )
 
 
+def _main_with_retry():
+    # A killed predecessor process can leave the remote TPU wedged; the next
+    # process's first device touch raises UNAVAILABLE and clears it.  One
+    # retry makes the benchmark robust to that.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - retry any first-touch device error
+        if "UNAVAILABLE" in str(e) or "device error" in str(e):
+            main()
+        else:
+            raise
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
