@@ -116,6 +116,38 @@ class TestPointTriangleCollisions:
             (3, 0, 1, 2), (4, 0, 1, 2), (5, 0, 1, 2)
         }
 
+    def test_reference_mode_detects_crossing(self):
+        # The quirk-faithful multi-cell broadphase (world-unit cells,
+        # Solver.cpp:659-670) finds the same crossing as the cell list.
+        tri_pos = np.array(
+            [
+                [0, 0, 0], [2, 0, 0], [0, 0, 2],
+                [0.3, 0.5, 0.3], [1.0, 0.5, 0.3], [0.3, 0.5, 1.0],
+            ],
+            np.float32,
+        )
+        now = tri_pos.copy()
+        now[3:, 1] = -0.5
+        tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        params = make_params(SolverOptions(), broadphase_cell=6.0)
+        cfg = StepConfig(solver=SolverName.PD, broadphase_mode="reference")
+        state = pt.make_state(tri_pos, capacity=8)
+        prev_p = jnp.asarray(
+            np.concatenate([tri_pos, np.asarray(state.positions)[6:]], 0)
+        )
+        now_p = jnp.asarray(
+            np.concatenate([now, np.asarray(state.positions)[6:]], 0)
+        )
+        pt_idx, pt_mask, overflow = detect_point_tri_collisions(
+            now_p, prev_p, jnp.asarray(tris),
+            jnp.asarray(np.ones(2, np.float32)), params, cfg,
+        )
+        hits = np.asarray(pt_idx)[np.asarray(pt_mask) > 0]
+        assert not bool(overflow)
+        assert {tuple(h) for h in hits} == {
+            (3, 0, 1, 2), (4, 0, 1, 2), (5, 0, 1, 2)
+        }
+
     def test_shared_node_pairs_skipped(self):
         # Two triangles sharing an edge never collide (Solver.cpp:757-770).
         pos = np.array(
