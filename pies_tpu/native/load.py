@@ -74,14 +74,32 @@ class _Native:
         return points, tets, surface
 
 
+def _build() -> bool:
+    """Compile the library from source (the .so is not under version
+    control — it is host-specific and unverifiable in review)."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    try:
+        proc = subprocess.run(
+            ["sh", script], capture_output=True, text=True, timeout=300
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    return proc.returncode == 0 and os.path.exists(_LIB_PATH)
+
+
 def try_load() -> _Native | None:
+    """Load the native library, building it from ``tetmesh.cpp`` on first
+    use; returns None (NumPy fallback engages) when no toolchain exists."""
     global _cached, _checked
     if _checked:
         return _cached
     _checked = True
-    if os.path.exists(_LIB_PATH):
-        try:
-            _cached = _Native(ctypes.CDLL(_LIB_PATH))
-        except OSError:
-            _cached = None
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        _cached = _Native(ctypes.CDLL(_LIB_PATH))
+    except OSError:
+        _cached = None
     return _cached

@@ -139,6 +139,10 @@ def _boundary_faces(tets: np.ndarray, points: np.ndarray) -> np.ndarray:
     to_interior = points[opposite] - a
     flip = np.sum(n * to_interior, axis=1) > 0
     faces[flip] = faces[flip][:, [0, 2, 1]]
+    # Deterministic output order: the same lexicographic (v0, v1, v2) sort as
+    # the native path (tetmesh.cpp `std::sort(surface...)`), so both
+    # implementations produce byte-identical surface arrays.
+    faces = faces[np.lexsort((faces[:, 2], faces[:, 1], faces[:, 0]))]
     return faces.astype(np.int32)
 
 

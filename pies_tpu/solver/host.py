@@ -249,6 +249,19 @@ class Solver:
                 new_state = dataclasses.replace(
                     new_state, **{field: jnp.asarray(arr)}
                 )
+            # Warm-started shape-matching rotations for preserved groups
+            # (groups are append-only in the builder, so old ids are stable).
+            gq = np.asarray(new_state.shape_quats)
+            old_gq = np.asarray(self._state.shape_quats)
+            g = min(gq.shape[0], old_gq.shape[0])
+            gq[:g] = old_gq[:g]
+            # The reference's _simFailed latch survives node-count growth
+            # (Solver.cpp:26-28 has no reset path short of clear()).
+            new_state = dataclasses.replace(
+                new_state,
+                shape_quats=jnp.asarray(gq),
+                sim_failed=self._state.sim_failed,
+            )
         self._state = new_state
         cap = self._state.capacity
 
@@ -407,6 +420,17 @@ class Solver:
             max_cells_per_tri=max_cells,
             max_candidates_per_tri=max(32, max_cells + 32),
             max_point_tri_contacts=max(256, 2 * tris.shape[0]),
+        )
+
+    def current_params(self):
+        """The exact ``PhysicsParams`` a ``tick()`` would use right now
+        (scene-tuned broadphase cell + hinge toggle included) — so external
+        harnesses compile the same program as the public API."""
+        self._prepare()
+        return make_params(
+            self._options,
+            release_hinge=self.release_hinge,
+            broadphase_cell=self._broadphase_cell,
         )
 
     def tick(self, delta_time: float = 0.0):

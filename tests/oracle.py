@@ -8,7 +8,7 @@ Serves two roles (SURVEY §4, §6):
   (float32, same guards, same quirks);
 * **CPU baseline** — the reference's C++ cannot be built here (its Extern/
   submodules are empty), so BASELINE.md measures this transcription's
-  vectorized variant instead (see bench_cpu.py).
+  vectorized variant instead (see scripts/measure_cpu_baseline.py).
 
 Each function cites the reference lines it transcribes.
 """
