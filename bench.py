@@ -56,14 +56,25 @@ def main():
     particle_iters_per_sec = steps_per_sec * n_particles * iters
 
     vs_baseline = 0.0
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json"
-    )
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref_path = os.path.join(here, "BASELINE_REF.json")
+    cpu_path = os.path.join(here, "BASELINE_CPU.json")
+    if os.path.exists(ref_path):
+        # Measured reference C++ (scripts/refbench) at the same scale,
+        # scaled by the reference's 8-thread assumption (Solver.h:36) —
+        # generous to the reference (its phmap/LLT would not scale linearly).
+        with open(ref_path) as f:
+            ref = json.load(f)
+        scene = ref["scenes"].get(f"tet_soup_{n_particles}")
+        if scene is not None:
+            vs_baseline = particle_iters_per_sec / (
+                scene["particle_iters_per_sec"]
+                * ref.get("reference_thread_assumption", 8)
+            )
+    if vs_baseline == 0.0 and os.path.exists(cpu_path):
+        # Fallback: this engine's own CPU transcription (round-1 protocol).
+        with open(cpu_path) as f:
             cpu = json.load(f)
-        # CPU transcription measured single-core; the reference assumes an
-        # 8-thread CPU (Solver.h:36) — scale optimistically in its favor.
         cpu_piters = cpu["particle_iters_per_sec_single_core"] * cpu.get(
             "reference_thread_assumption", 8
         )

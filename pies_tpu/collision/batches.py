@@ -130,13 +130,15 @@ def project_point_tri(
     positions: jax.Array,
     pt_idx: jax.Array,
     thickness: jax.Array,
-) -> jax.Array:
+) -> tuple[jax.Array, jax.Array]:
     """Point-triangle local-step projection
     (``CollisionConstraint.cpp:86-124``): if the point is within ``thickness``
     of the (front side of the) triangle plane, push only the point out along
     the normal; the triangle's projected positions stay put.
 
-    Returns ``f32[K, 4, 3]``.
+    Returns ``(projected f32[K, 4, 3], delta_a f32[K, 3])`` where ``delta_a``
+    is the point's displacement (``projected − gathered`` is zero everywhere
+    else) — the recentered contact coupling consumes it directly.
     """
     p = positions[pt_idx]  # [K,4,3]
     a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
@@ -144,8 +146,9 @@ def project_point_tri(
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     n_dot_p = jnp.sum(n * (a - b), axis=-1)
     disp = jnp.where(n_dot_p < thickness, thickness - n_dot_p, 0.0)
-    a_proj = a + disp[:, None] * n
-    return jnp.stack([a_proj, b, c, d], axis=1)
+    delta_a = disp[:, None] * n
+    a_proj = a + delta_a
+    return jnp.stack([a_proj, b, c, d], axis=1), delta_a
 
 
 def stabilize_point_tri(

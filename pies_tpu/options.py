@@ -145,14 +145,30 @@ class StepConfig:
     # slice adds — both full-bandwidth.
     strain_contiguous: bool = False
     volume_contiguous: bool = False
+    # Packed-body broadphase/narrowphase (set by the host when every
+    # collision body owns a contiguous block of ``body_nodes`` nodes starting
+    # at ``body_node_offset + b*body_nodes`` and its ``body_stride``
+    # triangles reference the same local corner pattern ``body_faces``).
+    # The whole pair narrowphase then runs on single packed rows per body
+    # (one gather per candidate body instead of ~3 per candidate triangle
+    # corner), and each unique (corner, face) pair is CCD-tested once.
+    body_nodes: int = 0
+    body_node_offset: int = 0
+    body_faces: tuple = ()
     # How point-triangle contacts enter the PD global operator:
     #  * "full": the exact w·AᵀA block, like the reference's collision matrix
     #    (Solver.cpp:242-262) — costs a contact-buffer gather+scatter in every
-    #    CG apply (~100 applies/substep);
-    #  * "diagonal": only the AᵀA diagonal, folded into the dense per-node
-    #    diagonal once per substep (off-diagonal coupling via the RHS only).
-    #    Cheaper, but measured too soft for the stiff 1e4 contact weights —
-    #    stacked bodies sink; kept as an experimental option.
+    #    CG apply (~64 applies/substep; TPU scatters run ~9M rows/s, so this
+    #    dominated stress-scale ticks);
+    #  * "recentered": only the AᵀA diagonal enters the operator (folded into
+    #    the dense per-node diagonal once per substep); the off-diagonal
+    #    coupling is recentered into the per-PD-iteration RHS as
+    #    w·AᵀA·(p − x_k) + D_c·x_k, whose fixed point over the PD iterations
+    #    is IDENTICAL to full coupling — one rank-1 scatter per iteration
+    #    instead of per CG apply.  (The earlier "diagonal" mode, which lagged
+    #    the off-diagonals without recentering and measured too soft —
+    #    stacked bodies sank — is superseded; the string is kept as an alias
+    #    of the corrected form.)
     contact_coupling: str = "full"
     budget: CollisionBudget = CollisionBudget()
     dtype: str = "float32"

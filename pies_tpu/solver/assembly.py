@@ -51,6 +51,7 @@ class LocalStep(NamedTuple):
     shape: jax.Array  # [Ms, 3] per-member
     goal: jax.Array  # [Mg, 3] per-member
     point_tri: jax.Array  # [K, 4, 3]
+    point_tri_delta: jax.Array  # [K, 3] point displacement (proj − current)
     static: jax.Array  # [S, 3]
     quats: jax.Array  # [G, 4] updated shape-matching rotations
 
@@ -75,6 +76,7 @@ def local_step(
     shape_p, quats = proj.project_shape(
         x, mass, quats, topo.shape, rotation_iterations
     )
+    pt_proj, pt_delta = project_point_tri(x, colls.pt_idx, thickness)
     return LocalStep(
         distance=proj.project_distance(x, topo.distance),
         position=proj.project_position(topo.position),
@@ -83,7 +85,8 @@ def local_step(
         bend=proj.project_bend(x, inv_mass, topo.bend),
         shape=shape_p,
         goal=proj.project_goal(topo.goal),
-        point_tri=project_point_tri(x, colls.pt_idx, thickness),
+        point_tri=pt_proj,
+        point_tri_delta=pt_delta,
         static=project_static(x, colls.static_idx, floor_height, reference_quirks),
         quats=quats,
     )
@@ -108,9 +111,22 @@ def assemble_force(
     colls: CollisionSet,
     strain_contiguous: bool = False,
     volume_contiguous: bool = False,
+    contact_coupling: str = "full",
+    x: jax.Array | None = None,
+    pt_diag: jax.Array | None = None,
 ) -> jax.Array:
     """Global force vector: ``b = M·sₙ/h² + Σ w·AᵀB·p``
-    (``Solver.cpp:266,310-349``)."""
+    (``Solver.cpp:266,310-349``).
+
+    ``contact_coupling="recentered"`` keeps the point-triangle AᵀA block out
+    of the CG operator (only its dense diagonal ``pt_diag`` is in the system)
+    and compensates here: ``b += w·AᵀA·(p − x) + D_c·x``, whose fixed point
+    over the PD iterations is identical to full coupling.  ``p − x`` is
+    nonzero only in the point row, so the correction is one rank-1 scatter
+    per PD iteration instead of a gather+scatter in each of the ~16 CG
+    applies per iteration (TPU scatters run ~9M rows/s — the contact block
+    dominated the substep at stress scale).
+    """
     f = msn_h2
 
     # Distance: AᵀB = A = [[.5,-.5],[-.5,.5]] (Constraints.cpp:42-47).
@@ -143,10 +159,20 @@ def assemble_force(
 
     # Point-triangle collisions: AᵀB·p = AᵀA·p (A = B,
     # CollisionConstraint.cpp:176-194).
-    ata = jnp.asarray(ATA_DIFF4, dtype=f.dtype)
-    contrib = _einsum("ab,kbd->kad", ata, local.point_tri)
     wk = W_POINT_TRI * colls.pt_mask
-    f = f.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+    if contact_coupling == "full":
+        ata = jnp.asarray(ATA_DIFF4, dtype=f.dtype)
+        contrib = _einsum("ab,kbd->kad", ata, local.point_tri)
+        f = f.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+    else:
+        # Recentered: w·AᵀA·(p − x) collapses to AᵀA's first column times the
+        # point displacement (the projection moves only the point), plus the
+        # dense diagonal lag term D_c·x.
+        col0 = jnp.asarray(ATA_DIFF4[:, 0].copy(), dtype=f.dtype)  # [4]
+        contrib = (wk * col0[:, None])[..., None] * local.point_tri_delta[None]
+        # contrib: [4, K, 3] — scatter per constraint row.
+        f = f.at[colls.pt_idx.T].add(contrib)
+        f = f + pt_diag[:, None] * x
 
     # Static floor collisions (CollisionConstraint.cpp:457-463).
     ws = W_STATIC * colls.static_mask
@@ -192,7 +218,7 @@ def apply_system(
     """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
     if static_diag is None:
         static_diag = static_collision_diag(colls, x.shape[0], x.dtype)
-        if contact_coupling == "diagonal":
+        if contact_coupling in ("diagonal", "recentered"):
             static_diag = static_diag + point_tri_collision_diag(
                 colls, x.shape[0], x.dtype
             )

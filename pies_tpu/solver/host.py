@@ -341,6 +341,33 @@ class Solver:
 
         strain_contiguous = _is_contiguous(b.strain_idx)
         volume_contiguous = _is_contiguous(b.volume_idx)
+        # Packed-body layout: every body owns m contiguous nodes and its
+        # stride triangles share one local corner pattern -> the broadphase
+        # runs fully packed (collision/broadphase._detect_point_tri_bodies_
+        # packed).  Tet soups satisfy this by construction.
+        body_nodes, body_off, body_faces = 0, 0, ()
+        e = budget.body_stride
+        if e > 1 and tris.shape[0]:
+            kb = tris.shape[0] // e
+            tn = tris.reshape(kb, e * 3)
+            mins = tn.min(axis=1)
+            m = int(tn[0].max() - mins[0] + 1)
+            local = tris.reshape(kb, e, 3) - mins[:, None, None]
+            padded_t = int(topology.triangles.shape[0])
+            if (
+                m <= 8
+                and padded_t % e == 0
+                and np.all(tn.max(axis=1) - mins + 1 == m)
+                and np.array_equal(
+                    mins, mins[0] + np.arange(kb, dtype=mins.dtype) * m
+                )
+                and np.all(local == local[0])
+                and int(mins[0]) + (padded_t // e) * m <= cap
+            ):
+                body_nodes, body_off = m, int(mins[0])
+                body_faces = tuple(
+                    tuple(int(v) for v in row) for row in local[0]
+                )
         # Cell-list cell size: largest triangle extent with headroom for
         # deformation and per-substep sweep; retunable without recompiling.
         if tris.shape[0]:
@@ -361,6 +388,9 @@ class Solver:
             contact_coupling=self._contact_coupling,
             strain_contiguous=strain_contiguous,
             volume_contiguous=volume_contiguous,
+            body_nodes=body_nodes,
+            body_node_offset=body_off,
+            body_faces=body_faces,
             budget=budget,
         )
         self._prepared_nodes = num_live

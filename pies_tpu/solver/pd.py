@@ -58,10 +58,12 @@ def pd_substep(
     static_diag = assembly.static_collision_diag(
         colls, state.capacity, x.dtype
     )
-    if config.contact_coupling == "diagonal":
-        static_diag = static_diag + assembly.point_tri_collision_diag(
+    pt_diag = None
+    if config.contact_coupling in ("diagonal", "recentered"):
+        pt_diag = assembly.point_tri_collision_diag(
             colls, state.capacity, x.dtype
         )
+        static_diag = static_diag + pt_diag
     matvec = partial(
         assembly.apply_system,
         mass_over_h2=mass_over_h2,
@@ -96,6 +98,9 @@ def pd_substep(
             colls,
             config.strain_contiguous,
             config.volume_contiguous,
+            contact_coupling=config.contact_coupling,
+            x=x,
+            pt_diag=pt_diag,
         )
         x_new, residual = assembly.pcg_solve(
             lambda v: matvec(v), force, x, diag, config.cg_iterations

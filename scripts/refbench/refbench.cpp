@@ -1,0 +1,180 @@
+// Baseline measurement harness for the reference Pies engine.
+//
+// Compiles the UNMODIFIED reference sources (/root/reference/Src) against
+// shim headers for its empty Extern/ submodules (glm / parallel-hashmap /
+// tetgen; Eigen comes from tensorflow's bundled copy) and times
+// Pies::Solver::tick on the benchmark scenes defined in BASELINE.json:
+//
+//   tet_soup <n_tets>  — N independent tetrahedra on a jittered grid in
+//                        floor contact; strain + volume constraint per tet,
+//                        all 4 faces as collision triangles.  Mirrors
+//                        pies_tpu.SceneBuilder.create_tet_soup(spacing=1.6,
+//                        scale=0.8, w=2000, height=0.5, jitter=0.05).
+//   rope <n_nodes>     — PBD chain with distance constraints + pinned start.
+//
+// The Solver's node/constraint vectors are private and its only tet-body
+// entry point requires tetgen, so this harness (and only this harness)
+// compiles with private access to populate the exact soup scene; it calls
+// nothing but public API afterwards.  This file is a measurement aid, not
+// engine code.  Std/Eigen headers are pre-included so the access-specifier
+// redefinition below only affects the Pies headers.
+#include <Eigen/Core>
+#include <Eigen/Dense>
+#include <Eigen/Geometry>
+#include <Eigen/SVD>
+#include <Eigen/Sparse>
+#include <Eigen/SparseCholesky>
+#include <unsupported/Eigen/Polynomials>
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <functional>
+#include <memory>
+#include <optional>
+#include <sstream>
+#include <thread>
+#include <utility>
+#include <vector>
+
+#define private public
+#include <Pies/Solver.h>
+#undef private
+
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+
+using namespace Pies;
+
+static void addTetSoup(Solver& solver, int count) {
+  // Mirrors SceneBuilder.create_tet_soup(count, spacing=1.6, scale=0.8,
+  // w=2000, mass=1, jitter=0.05, height=0.5).
+  const float spacing = 1.6f, scale = 0.8f, w = 2000.0f, height = 0.5f,
+              jitter = 0.05f;
+  const int side = static_cast<int>(std::ceil(std::cbrt(double(count))));
+  std::mt19937 rng(0);
+  std::normal_distribution<float> normal(0.0f, 1.0f);
+
+  const glm::vec3 unit[4] = {
+      {0, 0, 0}, {scale, 0, 0}, {0, scale, 0}, {0, 0, scale}};
+  const int faces[4][3] = {{0, 2, 1}, {0, 1, 3}, {0, 3, 2}, {1, 2, 3}};
+
+  solver._nodes.reserve(4 * size_t(count));
+  solver._tets.reserve(count);
+  solver._tetConstraints.reserve(count);
+  solver._volumeConstraints.reserve(count);
+  solver._triangles.reserve(4 * size_t(count));
+
+  int emitted = 0;
+  for (int i = 0; i < side && emitted < count; ++i)
+    for (int j = 0; j < side && emitted < count; ++j)
+      for (int k = 0; k < side && emitted < count; ++k, ++emitted) {
+        glm::vec3 origin(i * spacing + jitter * normal(rng),
+                         j * spacing + height + jitter * normal(rng),
+                         k * spacing + jitter * normal(rng));
+        uint32_t base = uint32_t(solver._nodes.size());
+        for (int c = 0; c < 4; ++c) {
+          Node& node = solver._nodes.emplace_back();
+          node.id = base + c;
+          node.position = origin + unit[c];
+          node.prevPosition = node.position;
+          node.velocity = glm::vec3(0.0f);
+          node.radius = 0.4f * scale;
+          node.invMass = 1.0f;
+        }
+        Tetrahedron& tet = solver._tets.emplace_back();
+        tet.nodeIds[0] = base;
+        tet.nodeIds[1] = base + 1;
+        tet.nodeIds[2] = base + 2;
+        tet.nodeIds[3] = base + 3;
+        solver._tetConstraints.push_back(createTetrahedralConstraint(
+            solver._constraintId++, w, solver._nodes[base],
+            solver._nodes[base + 1], solver._nodes[base + 2],
+            solver._nodes[base + 3], 0.8f, 1.0f));
+        solver._volumeConstraints.push_back(createVolumeConstraint(
+            solver._constraintId++, w, solver._nodes[base],
+            solver._nodes[base + 1], solver._nodes[base + 2],
+            solver._nodes[base + 3], 1.0f, 1.0f));
+        for (auto& f : faces) {
+          Triangle& tri = solver._triangles.emplace_back();
+          tri.nodeIds[0] = base + f[0];
+          tri.nodeIds[1] = base + f[1];
+          tri.nodeIds[2] = base + f[2];
+        }
+      }
+  solver._vertices.resize(solver._nodes.size());
+  for (size_t i = 0; i < solver._nodes.size(); ++i) {
+    solver._vertices[i].position = solver._nodes[i].position;
+    solver._vertices[i].radius = solver._nodes[i].radius;
+  }
+  solver.renderStateDirty = true;
+}
+
+static void addRope(Solver& solver, int n) {
+  // Mirrors SceneBuilder.create_rope((0,8,0) -> (6,8,0), w=10000, PBD).
+  const float w = 10000.0f;
+  const glm::vec3 start(0.0f, 8.0f, 0.0f), end(6.0f, 8.0f, 0.0f);
+  for (int i = 0; i < n; ++i) {
+    float t = float(i) / float(n - 1);
+    Node& node = solver._nodes.emplace_back();
+    node.id = uint32_t(i);
+    node.position = glm::mix(start, end, t);
+    node.prevPosition = node.position;
+    node.velocity = glm::vec3(0.0f);
+    node.radius = 0.25f;
+    node.invMass = 1.0f;
+  }
+  for (int i = 1; i < n; ++i)
+    solver._distanceConstraints.push_back(createDistanceConstraint(
+        solver._constraintId++, solver._nodes[i], solver._nodes[i - 1], w));
+  solver._positionConstraints.push_back(
+      createPositionConstraint(solver._constraintId++, solver._nodes[0], w));
+  solver._vertices.resize(solver._nodes.size());
+}
+
+int main(int argc, char** argv) {
+  std::string scene = argc > 1 ? argv[1] : "tet_soup";
+  int n = argc > 2 ? std::atoi(argv[2]) : 125000;
+  int warmup = argc > 3 ? std::atoi(argv[3]) : 2;
+  int ticks = argc > 4 ? std::atoi(argv[4]) : 10;
+
+  SolverOptions options{};  // reference defaults (Solver.h:23-38)
+  if (scene == "rope") options.solver = SolverName::PBD;
+  Solver solver(options);
+
+  int particles = 0;
+  if (scene == "tet_soup") {
+    addTetSoup(solver, n);
+    particles = 4 * n;
+  } else if (scene == "rope") {
+    addRope(solver, n);
+    particles = n;
+  } else {
+    std::fprintf(stderr, "unknown scene %s\n", scene.c_str());
+    return 1;
+  }
+
+  for (int i = 0; i < warmup; ++i) solver.tick(0.012f);
+
+  auto t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < ticks; ++i) solver.tick(0.012f);
+  auto t1 = std::chrono::steady_clock::now();
+  double elapsed = std::chrono::duration<double>(t1 - t0).count();
+
+  double steps_per_sec = ticks / elapsed;
+  double particle_iters =
+      steps_per_sec * double(particles) *
+      double(options.iterations) * double(options.timeSubsteps);
+  std::printf(
+      "{\"scene\": \"%s\", \"particles\": %d, \"ticks\": %d, "
+      "\"steps_per_sec\": %.6g, \"tick_ms\": %.6g, "
+      "\"particle_iters_per_sec\": %.6g, \"sim_failed\": %s}\n",
+      scene.c_str(), particles, ticks, steps_per_sec,
+      1000.0 * elapsed / ticks, particle_iters,
+      solver._simFailed ? "true" : "false");
+  return 0;
+}

@@ -221,6 +221,46 @@ class TestPointTriangleCollisions:
         assert p[3:, 1].min() < 1.0
 
 
+class TestRecenteredContactCoupling:
+    """The "recentered" coupling keeps contact AᵀA off-diagonals out of the
+    CG operator but compensates in the per-iteration RHS; its fixed point is
+    identical to full coupling (assembly.assemble_force docstring)."""
+
+    def _run(self, mode, iterations, ticks=30):
+        s = Solver(
+            SolverOptions(solver=SolverName.PD, iterations=iterations),
+            enable_collisions=True,
+            contact_coupling=mode,
+            cg_iterations=40,
+        )
+        # Overlapping mini-pile in immediate floor + self contact.
+        s.create_tet_soup(8, spacing=0.9, scale=0.8, w=2000.0, height=0.2,
+                          jitter=0.02)
+        for _ in range(ticks):
+            s.tick()
+        assert not s.sim_failed
+        return s.get_vertices()["position"]
+
+    def test_fixed_point_matches_full(self):
+        # With enough PD iterations both couplings converge to the same
+        # iterate.  The window is kept short: contact piles are chaotic, so
+        # the fixed-point-truncation difference (CG stops at a tolerance)
+        # amplifies over long rollouts even though the target is identical.
+        pf = self._run("full", iterations=16, ticks=8)
+        pr = self._run("recentered", iterations=16, ticks=8)
+        np.testing.assert_allclose(pr, pf, atol=2e-2)
+
+    def test_no_sinking_at_default_iterations(self):
+        # The failure mode of the old (uncentered) diagonal coupling was
+        # stacked bodies sinking; recentered must hold the pile up.
+        pr = self._run("recentered", iterations=4, ticks=60)
+        pf = self._run("full", iterations=4, ticks=60)
+        assert pr[:, 1].min() > -0.05, "pile sank below the floor"
+        np.testing.assert_allclose(
+            pr[:, 1].mean(), pf[:, 1].mean(), atol=0.05
+        )
+
+
 class TestOverflowBehavior:
     def test_contact_overflow_degrades_gracefully(self):
         # A 1-contact buffer drops the excess contacts instead of latching:

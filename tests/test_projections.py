@@ -177,12 +177,17 @@ class TestCollisionProjections:
         rng = np.random.default_rng(11)
         x = rand_positions(16, 12)
         idx = np.arange(16).reshape(4, 4).astype(np.int32)
-        got = np.asarray(
-            coll.project_point_tri(jnp.asarray(x), jnp.asarray(idx), jnp.float32(0.05))
+        got_p, got_delta = coll.project_point_tri(
+            jnp.asarray(x), jnp.asarray(idx), jnp.float32(0.05)
         )
+        got_p, got_delta = np.asarray(got_p), np.asarray(got_delta)
         for k in range(4):
             want = oracle.point_tri_project(x[idx[k]], 0.05)
-            np.testing.assert_allclose(got[k], want, atol=1e-5)
+            np.testing.assert_allclose(got_p[k], want, atol=1e-5)
+            # delta is the point's displacement; other rows don't move.
+            np.testing.assert_allclose(
+                got_delta[k], want[0] - x[idx[k, 0]], atol=1e-5
+            )
 
     def test_static_floor_quirk(self):
         x = np.array([[1.0, -0.5, 2.0], [1.0, 0.5, 2.0]], np.float32)
