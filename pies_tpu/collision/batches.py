@@ -151,6 +151,133 @@ def project_point_tri(
     return jnp.stack([a_proj, b, c, d], axis=1), delta_a
 
 
+def _edge_edge_closest_disp(
+    p: jax.Array,  # [E,4,3] gathered (a, b) edge 1, (c, d) edge 2
+    inv_mass4: jax.Array,  # [E,4]
+    thickness: jax.Array,
+    reference_quirks: bool,
+):
+    """Shared core of the edge-edge projection/stabilization
+    (``CollisionConstraint.cpp:225-314,316-400``): closest-point parameters
+    (u, v) on the two segments, push-out displacement and the mass weights.
+
+    ``reference_quirks=True`` reproduces the constraint's u/v shadowing bug
+    (the non-degenerate branch re-declares ``u``/``v`` inside the ``if``,
+    ``CollisionConstraint.cpp:253-256``, so the outer zeros are always used);
+    False computes the intended closest point.
+
+    Returns ``(active [E], disp [E,3], wa, wb, wc, wd [E])`` with the
+    reference's signs: a,b move by +w·disp, c,d by −w·disp.
+    """
+    from .narrowphase import _segment_closest_uv
+
+    a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    ab, ac, ad = b - a, c - a, d - a
+    u, v, degenerate = _segment_closest_uv(ab, ac, ad)
+    if reference_quirks:
+        u = jnp.where(degenerate, u, 0.0)
+        v = jnp.where(degenerate, v, 0.0)
+
+    q0 = u[:, None] * ab
+    q1 = ac + v[:, None] * (ad - ac)
+    n = q0 - q1
+    dist = jnp.linalg.norm(n, axis=-1)
+    n = n / jnp.maximum(dist, 1e-20)[:, None]
+
+    im = inv_mass4
+    s = (
+        im[:, 0] * (1.0 - u) ** 2
+        + im[:, 1] * u**2
+        + im[:, 2] * (1.0 - v) ** 2
+        + im[:, 3] * v**2
+    )
+    active = (dist < thickness) & (s > 0.0)
+    disp = (thickness - dist)[:, None] * n  # stabilization sign; projection negates
+    inv_s = 1.0 / jnp.maximum(s, 1e-20)
+    wa = im[:, 0] * (1.0 - u) * inv_s
+    wb = im[:, 1] * u * inv_s
+    wc = im[:, 2] * (1.0 - v) * inv_s
+    wd = im[:, 3] * v * inv_s
+    return active, disp, wa, wb, wc, wd
+
+
+def project_edge_edge(
+    positions: jax.Array,
+    inv_mass: jax.Array,
+    edge_idx: jax.Array,  # i32[E,4]
+    thickness: jax.Array,
+    reference_quirks: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Edge-edge local-step projection
+    (``CollisionConstraint.cpp:225-314``): push the two segments apart along
+    their closest-point direction, inverse-mass weighted.  The reference
+    never generates these constraints (sweep commented out,
+    ``Solver.cpp:799-823``); this is the rebuilt capability, gated by
+    ``StepConfig.enable_edge_collisions``.
+
+    Returns ``(projected [E,4,3], delta [E,4,3] = projected − gathered)``.
+    """
+    p = positions[edge_idx]
+    active, disp, wa, wb, wc, wd = _edge_edge_closest_disp(
+        p, inv_mass[edge_idx], thickness, reference_quirks
+    )
+    # Sign: the reference's projection uses disp = −(thickness − dist)·n with
+    # a,b += and c,d −= (CollisionConstraint.cpp:299-312) — which moves both
+    # edges TOWARD each other, the opposite of its own stabilization pass
+    # (CollisionConstraint.cpp:385-396).  Dead code in the reference, so the
+    # sign bug was never felt; quirk mode reproduces it literally, fixed mode
+    # uses the (stabilization-consistent) separating sign.
+    sign = -1.0 if reference_quirks else 1.0
+    am = active.astype(positions.dtype)[:, None]
+    delta = jnp.stack(
+        [
+            sign * wa[:, None] * disp,
+            sign * wb[:, None] * disp,
+            -sign * wc[:, None] * disp,
+            -sign * wd[:, None] * disp,
+        ],
+        axis=1,
+    ) * am[:, None]
+    return p + delta, delta
+
+
+def stabilize_edge_edge(
+    positions: jax.Array,
+    prev_positions: jax.Array,
+    inv_mass: jax.Array,
+    edge_idx: jax.Array,
+    edge_mask: jax.Array,
+    thickness: jax.Array,
+    reference_quirks: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """One Jacobi pass of edge-edge stabilization
+    (``CollisionConstraint.cpp:316-400``): direct push-out applied to
+    position *and* prevPosition, count-averaged like the point-tri pass."""
+    p = positions[edge_idx]
+    active, disp, wa, wb, wc, wd = _edge_edge_closest_disp(
+        p, inv_mass[edge_idx], thickness, reference_quirks
+    )
+    active = active & (edge_mask > 0)
+    am = active.astype(positions.dtype)
+    per_node = jnp.stack(
+        [
+            wa[:, None] * disp,
+            wb[:, None] * disp,
+            -wc[:, None] * disp,
+            -wd[:, None] * disp,
+        ],
+        axis=1,
+    ) * am[:, None, None]
+
+    delta = jnp.zeros_like(positions)
+    count = jnp.zeros(positions.shape[0], positions.dtype)
+    for k in range(4):
+        delta = delta.at[edge_idx[:, k]].add(per_node[:, k])
+        count = count.at[edge_idx[:, k]].add(am)
+    delta = delta / jnp.maximum(count, 1.0)[:, None]
+    return positions + delta, prev_positions + delta
+
+
 def stabilize_point_tri(
     positions: jax.Array,
     prev_positions: jax.Array,

@@ -285,7 +285,7 @@ def _tri_swept_aabb(x, prev, triangles, scale):
     return lo, hi
 
 
-def _detect_point_tri_celllist(
+def _celllist_candidates(
     x: jax.Array,
     prev: jax.Array,
     triangles: jax.Array,
@@ -293,7 +293,7 @@ def _detect_point_tri_celllist(
     params: PhysicsParams,
     config: StepConfig,
 ):
-    """Sorted cell-list broadphase.
+    """Candidate stage of the sorted cell-list broadphase.
 
     Each triangle is inserted into the single cell of its swept-AABB min
     corner; a query enumerates the AABB's cell range expanded by one cell on
@@ -305,6 +305,8 @@ def _detect_point_tri_celllist(
     The cell size is a *traced* scalar: ``collision_cell_scale`` x the
     largest initial triangle extent, supplied via ``PhysicsParams.
     broadphase_cell`` — retunable without recompiling.
+
+    Returns ``(cand, cand_valid, lo, hi, margin, overflow)``.
     """
     budget = config.budget
     t = triangles.shape[0]
@@ -343,16 +345,122 @@ def _detect_point_tri_celllist(
     cand = jnp.minimum(cand, t - 1)
 
     margin = params.collision_threshold_distance / cell
-    pt_idx, pt_mask, total = _ccd_and_compact(
-        x, prev, triangles, cand, cand_valid, params, config, lo, hi, margin
-    )
     # Contact-buffer and query-cell overflow drop the excess gracefully
     # (re-detected next substep; far query cells are the least likely to
     # hold contacts); only oversized items and reference-scale bucket
     # explosions latch sim failure.
     del q_over
     overflow = size_over | jnp.any(gather_over & live)
+    return cand, cand_valid, lo, hi, margin, overflow
+
+
+def _detect_point_tri_celllist(
+    x: jax.Array,
+    prev: jax.Array,
+    triangles: jax.Array,
+    tri_mask: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Sorted cell-list point-triangle pipeline (see _celllist_candidates)."""
+    cand, cand_valid, lo, hi, margin, overflow = _celllist_candidates(
+        x, prev, triangles, tri_mask, params, config
+    )
+    pt_idx, pt_mask, total = _ccd_and_compact(
+        x, prev, triangles, cand, cand_valid, params, config, lo, hi, margin
+    )
     return pt_idx, pt_mask, overflow
+
+
+def detect_edge_edge_collisions(
+    x: jax.Array,
+    prev: jax.Array,
+    triangles: jax.Array,
+    tri_mask: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Edge-edge collision sweep — the reference's commented-out pipeline
+    (``Solver.cpp:799-823``) rebuilt: for each unordered candidate triangle
+    pair from the cell-list broadphase, CCD-test the 3x3 edge combinations
+    (``edgeEdgeCCD``, quirk/fixed per ``config.reference_quirks``) and emit
+    ``EdgeCollisionConstraint`` node tuples (a,b | c,d).
+
+    Each unordered pair is tested once (query id < candidate id; cell-list
+    discovery is symmetric for within-budget items).  Opt-in via
+    ``StepConfig.enable_edge_collisions``.
+
+    Returns ``(edge_idx i32[E,4], edge_mask f32[E], overflow bool[])``.
+    """
+    from .narrowphase import edge_edge_ccd
+
+    budget = config.budget
+    t = triangles.shape[0]
+    cand, cand_valid, lo, hi, margin, overflow = _celllist_candidates(
+        x, prev, triangles, tri_mask, params, config
+    )
+    cand, cand_valid = _aabb_prefilter_pack(
+        cand, cand_valid, lo, hi, margin, budget.max_narrow_candidates
+    )
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    nbc = cand.shape[1]
+    own = triangles  # [T,3]
+    other = triangles[cand.reshape(-1)]  # [T*B,3]
+    own_rep = jnp.repeat(own, nbc, axis=0)
+    shares = jnp.any(own_rep[:, :, None] == other[:, None, :], axis=(-1, -2))
+    pair_ok = (
+        cand_valid.reshape(-1)
+        & ~shares
+        & (cand.reshape(-1) > jnp.repeat(tri_ids, nbc))
+    )
+
+    xp = jnp.concatenate([prev, x], axis=-1)  # [N,6] (prev | now)
+    own_rows = [xp[own_rep[:, k]] for k in range(3)]  # 3 x [T*B,6]
+    other_rows = [xp[other[:, k]] for k in range(3)]
+
+    edges = ((0, 1), (1, 2), (2, 0))
+    cap = budget.max_edge_contacts
+    hit_ids = jnp.full(cap + 1, -1, dtype=jnp.int32)
+    count = jnp.int32(0)
+    pair_idx = jnp.arange(t * nbc, dtype=jnp.int32)
+    for e1, (i0, i1) in enumerate(edges):
+        a_row, b_row = own_rows[i0], own_rows[i1]
+        for e2, (j0, j1) in enumerate(edges):
+            c_row, d_row = other_rows[j0], other_rows[j1]
+            # Relative to edge-1 start, (prev | now) halves.
+            hit, _ = edge_edge_ccd(
+                b_row[:, :3] - a_row[:, :3],
+                c_row[:, :3] - a_row[:, :3],
+                d_row[:, :3] - a_row[:, :3],
+                b_row[:, 3:] - a_row[:, 3:],
+                c_row[:, 3:] - a_row[:, 3:],
+                d_row[:, 3:] - a_row[:, 3:],
+                quirk=config.reference_quirks,
+            )
+            hit = hit & pair_ok
+            pos = count + jnp.cumsum(hit.astype(jnp.int32)) - 1
+            dest = jnp.where(hit & (pos < cap), pos, cap)
+            ids = pair_idx * 9 + (e1 * 3 + e2)
+            hit_ids = hit_ids.at[dest].set(ids)
+            count = count + hit.sum(dtype=jnp.int32)
+    hit_ids = hit_ids[:cap]
+
+    found = hit_ids >= 0
+    ids = jnp.maximum(hit_ids, 0)
+    combo = ids % 9
+    pair = ids // 9
+    e1_of, e2_of = combo // 3, combo % 3
+    tri_of = pair // nbc
+    other_tri = cand[pair // nbc, pair % nbc]
+    edges_arr = jnp.asarray(np.asarray(edges, dtype=np.int32))  # [3,2]
+    ab = jnp.take_along_axis(
+        triangles[tri_of], edges_arr[e1_of], axis=1
+    )  # [E,2]
+    cd = jnp.take_along_axis(triangles[other_tri], edges_arr[e2_of], axis=1)
+    edge_idx = jnp.concatenate([ab, cd], axis=-1)
+    edge_idx = jnp.where(found[:, None], edge_idx, 0)
+    edge_mask = found.astype(x.dtype)
+    return edge_idx, edge_mask, overflow
 
 
 def _detect_point_tri_reference(

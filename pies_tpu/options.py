@@ -88,6 +88,9 @@ class CollisionBudget:
     # Fixed capacity of the per-substep point-triangle contact buffer; the
     # host sizes this from the scene's triangle count.
     max_point_tri_contacts: int = 256
+    # Fixed capacity of the per-substep edge-edge contact buffer (only used
+    # when StepConfig.enable_edge_collisions is on).
+    max_edge_contacts: int = 256
     # Narrowphase budget after the AABB-overlap prefilter (true neighbors).
     max_narrow_candidates: int = 32
     # Uniform collision-body stride: when every scene body is exactly this
@@ -120,6 +123,12 @@ class StepConfig:
     # (the warm start from the previous iteration's positions does most of
     # the work); fidelity tests crank this up and compare to a dense solve.
     cg_iterations: int = 16
+    # Relative early-exit tolerance for the CG loop (0 = fixed trip count).
+    # Nonzero switches to a while_loop capped at cg_iterations that stops
+    # once the preconditioned residual falls below rtol·initial —
+    # deterministic (data-dependent trips, static shapes); clean scenes stop
+    # paying for the worst case.
+    cg_rtol: float = 0.0
     # Müller rotation-extraction iterations for shape matching.  The reference
     # runs up to 100 with an early break (ShapeMatchingConstraint.cpp:79-93);
     # the iteration is a no-op after convergence so a fixed count is exact.
@@ -127,6 +136,11 @@ class StepConfig:
     # Enable the node-node / point-triangle collision pipelines (broadphase +
     # narrowphase).  Scenes without self-collision skip the sort entirely.
     enable_collisions: bool = True
+    # Enable the edge-edge collision pipeline (sweep + constraint +
+    # stabilization).  Off by default — the reference's generation is
+    # commented out (Solver.cpp:799-823) — but fully functional as the
+    # rebuilt capability (SURVEY §2.3).
+    enable_edge_collisions: bool = False
     # Reproduce reference quirks bit-for-bit (see FIDELITY.md):
     #  * static floor constraint projects to y=0 regardless of floor_height
     #    (CollisionConstraint.cpp:452-454 vs detection at Solver.cpp:831)

@@ -30,9 +30,11 @@ from ..ops.precision import einsum as _einsum
 
 from ..collision.batches import (
     ATA_DIFF4,
+    W_EDGE,
     W_POINT_TRI,
     W_STATIC,
     CollisionSet,
+    project_edge_edge,
     project_point_tri,
     project_static,
 )
@@ -52,6 +54,8 @@ class LocalStep(NamedTuple):
     goal: jax.Array  # [Mg, 3] per-member
     point_tri: jax.Array  # [K, 4, 3]
     point_tri_delta: jax.Array  # [K, 3] point displacement (proj − current)
+    edge: jax.Array  # [E, 4, 3]
+    edge_delta: jax.Array  # [E, 4, 3] (proj − current, all four nodes move)
     static: jax.Array  # [S, 3]
     quats: jax.Array  # [G, 4] updated shape-matching rotations
 
@@ -77,6 +81,9 @@ def local_step(
         x, mass, quats, topo.shape, rotation_iterations
     )
     pt_proj, pt_delta = project_point_tri(x, colls.pt_idx, thickness)
+    edge_proj, edge_delta = project_edge_edge(
+        x, inv_mass, colls.edge_idx, thickness, reference_quirks
+    )
     return LocalStep(
         distance=proj.project_distance(x, topo.distance),
         position=proj.project_position(topo.position),
@@ -87,6 +94,8 @@ def local_step(
         goal=proj.project_goal(topo.goal),
         point_tri=pt_proj,
         point_tri_delta=pt_delta,
+        edge=edge_proj,
+        edge_delta=edge_delta,
         static=project_static(x, colls.static_idx, floor_height, reference_quirks),
         quats=quats,
     )
@@ -174,6 +183,21 @@ def assemble_force(
         f = f.at[colls.pt_idx.T].add(contrib)
         f = f + pt_diag[:, None] * x
 
+    # Edge-edge collisions: A identical to the point-tri differential
+    # (CollisionConstraint.cpp:202-211), w = 1e6.
+    if colls.edge_idx.shape[0]:
+        we = W_EDGE * colls.edge_mask
+        ata = jnp.asarray(ATA_DIFF4, dtype=f.dtype)
+        if contact_coupling == "full":
+            contrib = _einsum("ab,kbd->kad", ata, local.edge)
+            f = f.at[colls.edge_idx].add(we[:, None, None] * contrib)
+        else:
+            # Recentered: all four nodes move, so use the full delta.
+            contrib = _einsum("ab,kbd->kad", ata, local.edge_delta)
+            f = f.at[colls.edge_idx].add(we[:, None, None] * contrib)
+            # The dense D_e·x lag term rides pt_diag (host folds the edge
+            # diagonal into it; see pd_substep).
+
     # Static floor collisions (CollisionConstraint.cpp:457-463).
     ws = W_STATIC * colls.static_mask
     f = f.at[colls.static_idx].add(ws[:, None] * local.static)
@@ -197,11 +221,22 @@ def point_tri_collision_diag(
     colls: CollisionSet, num_nodes: int, dtype
 ) -> jax.Array:
     """Dense per-node AᵀA diagonal of the point-triangle contacts (for
-    ``contact_coupling="diagonal"``), built once per substep."""
+    ``contact_coupling="recentered"``), built once per substep."""
     ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=dtype)  # [4]
     contrib = (W_POINT_TRI * colls.pt_mask)[:, None] * ata_d[None, :]
     return jax.ops.segment_sum(
         contrib.reshape(-1), colls.pt_idx.reshape(-1), num_segments=num_nodes
+    ).astype(dtype)
+
+
+def edge_collision_diag(
+    colls: CollisionSet, num_nodes: int, dtype
+) -> jax.Array:
+    """Dense per-node AᵀA diagonal of the edge-edge contacts."""
+    ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=dtype)
+    contrib = (W_EDGE * colls.edge_mask)[:, None] * ata_d[None, :]
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), colls.edge_idx.reshape(-1), num_segments=num_nodes
     ).astype(dtype)
 
 
@@ -256,6 +291,11 @@ def apply_system(
         contrib = _einsum("ab,kbd->kad", ata, xg)
         wk = W_POINT_TRI * colls.pt_mask
         y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+        if colls.edge_idx.shape[0]:
+            xe = x[colls.edge_idx]
+            contrib = _einsum("ab,kbd->kad", ata, xe)
+            we = W_EDGE * colls.edge_mask
+            y = y.at[colls.edge_idx].add(we[:, None, None] * contrib)
     return y
 
 
@@ -269,6 +309,9 @@ def system_diag(
     ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=diag.dtype)  # [4]
     wk = W_POINT_TRI * colls.pt_mask
     diag = diag.at[colls.pt_idx].add(wk[:, None] * ata_d[None, :])
+    if colls.edge_idx.shape[0]:
+        we = W_EDGE * colls.edge_mask
+        diag = diag.at[colls.edge_idx].add(we[:, None] * ata_d[None, :])
     diag = diag + static_collision_diag(colls, diag.shape[0], diag.dtype)
     return diag
 
@@ -279,13 +322,18 @@ def pcg_solve(
     x0: jax.Array,
     diag: jax.Array,
     iterations: int,
+    rtol: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Jacobi-preconditioned CG on the stacked 3-RHS system.
 
     The three axes share one Krylov space (inner products reduce over both
     axes), matching the reference's simultaneous 3-column solve
-    (``Solver.cpp:356``).  Fixed trip count keeps the program static; the
-    returned residual norm feeds the observability counters (SURVEY §5).
+    (``Solver.cpp:356``).  ``iterations`` is the static trip cap; a nonzero
+    ``rtol`` adds a data-dependent early exit once the preconditioned
+    residual norm falls below ``rtol``·(initial) — shapes stay static, only
+    the trip count varies, and the exit is deterministic (same data → same
+    trips).  The returned residual norm feeds the observability counters
+    (SURVEY §5).
     """
     inv_diag = (1.0 / diag)[:, None]
 
@@ -293,9 +341,10 @@ def pcg_solve(
     z = inv_diag * r
     p = z
     rz = jnp.sum(r * z)
+    rz0 = rz
 
-    def body(_, carry):
-        x, r, p, rz = carry
+    def step(carry):
+        x, r, p, rz, i = carry
         ap = matvec(p)
         p_ap = jnp.sum(p * ap)
         alpha = jnp.where(p_ap > 0, rz / jnp.maximum(p_ap, 1e-30), 0.0)
@@ -305,7 +354,20 @@ def pcg_solve(
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         p = z + beta * p
-        return x, r, p, rz_new
+        return x, r, p, rz_new, i + 1
 
-    x, r, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r, p, rz))
+    if rtol > 0.0:
+        tol2 = rtol * rtol * rz0
+
+        def cond(carry):
+            _, _, _, rz, i = carry
+            return (i < iterations) & (rz > tol2)
+
+        x, r, _, _, _ = jax.lax.while_loop(
+            cond, step, (x0, r, p, rz, jnp.int32(0))
+        )
+    else:
+        x, r, _, _, _ = jax.lax.fori_loop(
+            0, iterations, lambda _, c: step(c), (x0, r, p, rz, jnp.int32(0))
+        )
     return x, jnp.sqrt(jnp.sum(r * r))

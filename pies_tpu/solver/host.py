@@ -48,8 +48,10 @@ class Solver:
         *,
         seed: int = 0,
         cg_iterations: int = 16,
+        cg_rtol: float = 0.0,
         rotation_iterations: int = 20,
         enable_collisions: bool = True,
+        enable_edge_collisions: bool = False,
         reference_quirks: bool = True,
         broadphase_mode: str = "celllist",
         contact_coupling: str = "full",
@@ -59,8 +61,10 @@ class Solver:
         self._options = options or SolverOptions()
         self._builder = SceneBuilder(seed=seed)
         self._cg_iterations = cg_iterations
+        self._cg_rtol = cg_rtol
         self._rotation_iterations = rotation_iterations
         self._enable_collisions = enable_collisions
+        self._enable_edge_collisions = enable_edge_collisions
         self._reference_quirks = reference_quirks
         self._broadphase_mode = broadphase_mode
         self._contact_coupling = contact_coupling
@@ -381,8 +385,10 @@ class Solver:
                 self._options.collision_stabilization_iterations
             ),
             cg_iterations=self._cg_iterations,
+            cg_rtol=self._cg_rtol,
             rotation_iterations=self._rotation_iterations,
             enable_collisions=self._enable_collisions,
+            enable_edge_collisions=self._enable_edge_collisions,
             reference_quirks=self._reference_quirks,
             broadphase_mode=self._broadphase_mode,
             contact_coupling=self._contact_coupling,

@@ -26,7 +26,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..collision.batches import CollisionSet, stabilize_point_tri
+from ..collision.batches import (
+    CollisionSet,
+    stabilize_edge_edge,
+    stabilize_point_tri,
+)
 from ..options import PhysicsParams, StepConfig
 from ..state import SolverState
 from ..topology import Topology
@@ -63,6 +67,10 @@ def pd_substep(
         pt_diag = assembly.point_tri_collision_diag(
             colls, state.capacity, x.dtype
         )
+        if config.enable_edge_collisions:
+            pt_diag = pt_diag + assembly.edge_collision_diag(
+                colls, state.capacity, x.dtype
+            )
         static_diag = static_diag + pt_diag
     matvec = partial(
         assembly.apply_system,
@@ -103,7 +111,8 @@ def pd_substep(
             pt_diag=pt_diag,
         )
         x_new, residual = assembly.pcg_solve(
-            lambda v: matvec(v), force, x, diag, config.cg_iterations
+            lambda v: matvec(v), force, x, diag, config.cg_iterations,
+            rtol=config.cg_rtol,
         )
         # Padded nodes solve exactly to their park position; re-select to
         # remove CG truncation noise.
@@ -133,6 +142,16 @@ def pd_substep(
             colls.pt_mask,
             params.collision_thickness,
         )
+        if config.enable_edge_collisions:
+            x, prev = stabilize_edge_edge(
+                x,
+                prev,
+                state.inv_mass,
+                colls.edge_idx,
+                colls.edge_mask,
+                params.collision_thickness,
+                config.reference_quirks,
+            )
         # Hard snap for floor contacts (Solver.cpp:379-382).
         snap = colls.static_mask[:, None] > 0
         x = x.at[colls.static_idx].set(

@@ -49,6 +49,18 @@ def default_detect_collisions(state, x, topo, params, config: StepConfig):
         colls = replace(
             colls, pt_idx=pt_idx, pt_mask=pt_mask, overflow=overflow
         )
+    if config.enable_edge_collisions and topo.triangles.shape[0] > 0:
+        from ..collision.broadphase import detect_edge_edge_collisions
+
+        edge_idx, edge_mask, e_overflow = detect_edge_edge_collisions(
+            x, state.prev_positions, topo.triangles, topo.tri_mask, params, config
+        )
+        colls = replace(
+            colls,
+            edge_idx=edge_idx,
+            edge_mask=edge_mask,
+            overflow=jnp.logical_or(colls.overflow, e_overflow),
+        )
     return colls
 
 

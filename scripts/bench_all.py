@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark all five BASELINE.json configs on the current backend.
+
+Prints one JSON line per config and writes BENCH_ALL.json at the repo root.
+(The driver-facing headline bench stays bench.py — one line, config 5.)
+
+  python scripts/bench_all.py            # real chip
+  PIES_BENCH_SMALL=1 python scripts/bench_all.py   # smoke sizes
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def time_ticks(solver, warmup, ticks):
+    for _ in range(warmup):
+        solver.tick()
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        solver.tick()
+    dt = time.perf_counter() - t0
+    assert not solver.sim_failed, "scene latched sim failure"
+    return ticks / dt
+
+
+def result(name, particles, steps_per_sec, iters, extra=None):
+    row = {
+        "config": name,
+        "particles": particles,
+        "steps_per_sec": round(steps_per_sec, 4),
+        "tick_ms": round(1000.0 / steps_per_sec, 3),
+        "particle_iters_per_sec": round(steps_per_sec * particles * iters),
+    }
+    row.update(extra or {})
+    print(json.dumps(row))
+    return row
+
+
+def main():
+    small = bool(os.environ.get("PIES_BENCH_SMALL"))
+    from pies_tpu import Solver
+    from pies_tpu.options import SolverName, SolverOptions
+    from pies_tpu.parallel import ensemble
+
+    rows = []
+    warmup, ticks = (1, 3) if small else (3, 10)
+
+    # Config 1: coiling rope, PBD (~2k particles, distance + pin).
+    n_rope = 256 if small else 2048
+    s = Solver(SolverOptions(solver=SolverName.PBD), enable_collisions=True)
+    s.create_rope((0, 8, 0), (6, 8, 0), n_rope, w=10000.0)
+    rows.append(result("rope_pbd", n_rope, time_ticks(s, warmup, ticks), 4))
+
+    # Config 2: hanging cloth sheet, PD + CG (the reference's 20x20
+    # createSheet; parity scene — tiny, overhead-bound on TPU).
+    s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+    s.create_sheet((0.0, 10.0, 0.0), 1.0, 1.0, 5000.0)
+    rows.append(result("cloth_pd_20x20", s._builder.num_nodes,
+                       time_ticks(s, warmup, ticks), 4))
+
+    # Config 3: tet-mesh cube drop through the mesh-import path
+    # (addTriMeshVolume analog: native mesher), floor contact + friction.
+    res = 4 if small else 10
+    verts = np.array(
+        [[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0],
+         [0, 0, 2], [2, 0, 2], [2, 2, 2], [0, 2, 2]], np.float32
+    ) + np.array([0.0, 0.5, 0.0], np.float32)
+    tris = np.array(
+        [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+         [1, 2, 6], [1, 6, 5], [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]],
+        np.int32,
+    )
+    from pies_tpu.scene.tetmesh import tetrahedralize
+    points, tets, surface = tetrahedralize(verts, tris, res)
+    s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+    ids = s._builder._emit_nodes(points, inv_mass=1.0, radius=0.2)
+    s._builder._emit_tets(ids[tets], 1000.0)
+    s._builder._emit_triangles(ids[surface])
+    s._dirty = True
+    rows.append(result("tet_cube_drop", s._builder.num_nodes,
+                       time_ticks(s, warmup, ticks), 4,
+                       {"tets": int(tets.shape[0])}))
+
+    # Config 4a: multi-body shape-matching blobs (PD, floor contact).
+    nb = 4 if small else 64
+    s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+    side = int(np.ceil(nb ** 0.5))
+    for b in range(nb):
+        i, j = divmod(b, side)
+        s.create_shape_matching_box(
+            (3.0 * i, 1.0 + 0.5 * (b % 3), 3.0 * j), 5, 5, 5, 1.0,
+            (0.0, 0.0, 0.0), 4000.0,
+        )
+    rows.append(result("shape_matching_blobs", s._builder.num_nodes,
+                       time_ticks(s, warmup, ticks), 4, {"bodies": nb}))
+
+    # Config 4b: PBD node-node pile (sorted-grid broadphase, per-iteration
+    # re-detect — the reference's inline PBD response, Solver.cpp:81-130).
+    npts = 512 if small else 8192
+    rng = np.random.default_rng(3)
+    pts = rng.uniform([-4, 0.5, -4], [4, 6.0, 4], (npts, 3)).astype(np.float32)
+    s = Solver(SolverOptions(solver=SolverName.PBD), enable_collisions=True)
+    s.add_nodes(pts)
+    rows.append(result("pbd_node_pile", npts, time_ticks(s, warmup, ticks), 4))
+
+    # Config 5a: the 500k stress soup is bench.py's headline line (run that
+    # separately).  Config 5b here: 64-scene vmapped ensemble rollout.
+    n_scenes = 4 if small else 64
+    n_tets = 32 if small else 512
+    s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+    s.create_tet_soup(n_tets, spacing=1.6, scale=0.8, w=2000.0, height=0.5,
+                      jitter=0.05)
+    s._prepare()
+    params = s.current_params()
+    states = ensemble.stack_ensemble(s._state, n_scenes)
+    import jax
+    step = jax.jit(
+        lambda st: ensemble.ensemble_tick(st, s._topology, params, s._config)
+    )
+    states, _ = step(states)
+    jax.block_until_ready(states.positions)
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        states, _ = step(states)
+    jax.block_until_ready(states.positions)
+    sps = ticks / (time.perf_counter() - t0)
+    rows.append(result(
+        "ensemble_vmap", int(s._state.capacity) * n_scenes, sps, 4,
+        {"scenes": n_scenes, "scene_steps_per_sec": round(sps * n_scenes, 2)},
+    ))
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH_ALL.json")
+    with open(out, "w") as f:
+        json.dump({"results": rows}, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -222,6 +222,76 @@ def point_tri_project(p4, thickness):
     return out
 
 
+def edge_closest_uv(pa, pb, pc, pd, quirk=True):
+    """Closest-point (u, v) of segments (a,b) and (c,d)
+    (CollisionConstraint.cpp:241-289).  ``quirk=True`` transcribes the
+    shadowing bug: the non-degenerate branch declares fresh locals, so the
+    outer u = v = 0 survive (CollisionConstraint.cpp:253-256)."""
+    ab, ac = pb - pa, pc - pa
+    cd = pd - pc
+    ab_sq, cd_sq, ab_cd = ab @ ab, cd @ cd, ab @ cd
+    ac_ab, ac_cd = ac @ ab, ac @ cd
+    det = ab_sq * -cd_sq + ab_cd * ab_cd
+    u = v = 0.0
+    if det != 0.0:
+        if not quirk:
+            u = (ac_ab * -cd_sq + ab_cd * ac_cd) / det
+            v = (ab_sq * ac_cd - ac_ab * ab_cd) / det
+    else:
+        u0, u1 = pa @ ab, pb @ ab
+        v0, v1 = pc @ ab, pd @ ab
+        flip0 = u0 > u1
+        if flip0:
+            u0, u1 = u1, u0
+        flip1 = v0 > v1
+        if flip1:
+            v0, v1 = v1, v0
+        if u0 >= v1:
+            u, v = (1.0 if flip0 else 0.0), (0.0 if flip1 else 1.0)
+        elif v0 >= u1:
+            u, v = (0.0 if flip0 else 1.0), (1.0 if flip1 else 0.0)
+        else:
+            mid = (u0 + v1) * 0.5 if u0 > v0 else (v0 + u1) * 0.5
+            u = 0.5 if u0 == u1 else (mid - u0) / (u1 - u0)
+            v = 0.5 if v0 == v1 else (mid - v0) / (v1 - v0)
+    return float(np.clip(u, 0.0, 1.0)), float(np.clip(v, 0.0, 1.0))
+
+
+def edge_project(p4, inv_mass4, thickness, quirk=True):
+    """``EdgeCollisionConstraint::projectToAuxiliaryVariable``
+    (CollisionConstraint.cpp:225-314).  ``quirk=True`` is reference-literal,
+    including its attracting sign (disp = −(th−dist)·n with a,b += / c,d −=,
+    the opposite of the constraint's own stabilization pass — dead code in
+    the reference); ``quirk=False`` is the intended separating form."""
+    p4 = np.asarray(p4, F)
+    pa, pb, pc, pd = p4
+    u, v = edge_closest_uv(pa, pb, pc, pd, quirk)
+    ab, ac, ad = pb - pa, pc - pa, pd - pa
+    q0 = u * ab
+    q1 = ac + v * (ad - ac)
+    n = q0 - q1
+    dist = float(np.linalg.norm(n))
+    out = p4.copy()
+    if dist >= thickness:
+        return out
+    n = n / dist
+    disp = (thickness - dist) * n
+    if quirk:
+        disp = -disp
+    im = inv_mass4
+    s = (
+        im[0] * (1 - u) ** 2 + im[1] * u * u
+        + im[2] * (1 - v) ** 2 + im[3] * v * v
+    )
+    if s == 0.0:
+        return out
+    out[0] += disp * im[0] * (1 - u) / s
+    out[1] += disp * im[1] * u / s
+    out[2] -= disp * im[2] * (1 - v) / s
+    out[3] -= disp * im[3] * v / s
+    return out
+
+
 def static_project(p, floor_quirk=True, floor_height=0.0):
     """``StaticCollisionConstraint::projectToAuxiliaryVariable``
     (CollisionConstraint.cpp:447-455) — clamps to y=0 regardless of

@@ -221,6 +221,118 @@ class TestPointTriangleCollisions:
         assert p[3:, 1].min() < 1.0
 
 
+class TestEdgeEdgeCollisions:
+    """The rebuilt edge-edge pipeline (dead in the reference: generation
+    commented out at Solver.cpp:799-823): projection/stabilization kernels
+    vs the oracle, and an end-to-end crossing-strips scene."""
+
+    def test_projection_matches_oracle(self):
+        from pies_tpu.collision.batches import project_edge_edge
+        from tests import oracle
+
+        rng = np.random.default_rng(7)
+        # Segment pairs at assorted separations around the threshold,
+        # including a parallel (degenerate-det) pair.
+        base = rng.normal(size=(8, 4, 3)).astype(np.float32) * 0.4
+        base[6] = [[0, 0, 0], [1, 0, 0], [0, 0.03, 0], [1, 0.03, 0]]  # parallel
+        base[7] = [[0, 0, 0], [1, 0, 0], [0.5, 0.04, -0.5], [0.5, 0.04, 0.5]]
+        im = np.abs(rng.normal(size=(8, 4)).astype(np.float32)) + 0.1
+        n = 32
+        x = base.reshape(-1, 3)
+        inv_mass = im.reshape(-1)
+        idx = np.arange(n, dtype=np.int32).reshape(8, 4)
+        for quirk in (True, False):
+            proj, delta = project_edge_edge(
+                jnp.asarray(x), jnp.asarray(inv_mass), jnp.asarray(idx),
+                jnp.float32(0.1), quirk,
+            )
+            proj = np.asarray(proj)
+            for k in range(8):
+                want = oracle.edge_project(x[idx[k]], inv_mass[idx[k]], 0.1, quirk)
+                np.testing.assert_allclose(proj[k], want, atol=2e-5, err_msg=f"quirk={quirk} k={k}")
+
+    def test_generation_feeds_edge_buffer(self):
+        # Two triangles whose nearest features are a crossing edge pair
+        # (no corner is near the other's face plane interior).
+        # reference_quirks=False: the quirk-faithful CCD evaluates proximity
+        # at u = v = 0 (the reference's shadowing bug) and misses genuine
+        # crossings whose first endpoints are far apart; the rebuilt
+        # capability uses the intended closest-point math.
+        s = Solver(
+            SolverOptions(solver=SolverName.PD),
+            enable_collisions=False,
+            enable_edge_collisions=True,
+            reference_quirks=False,
+        )
+        b = s._builder
+        t1 = b._emit_nodes(
+            np.array([[-1, 1, 0], [1, 1, 0], [0, 2.5, 0]], np.float32),
+            inv_mass=1.0, radius=0.1,
+        )
+        t2 = b._emit_nodes(
+            np.array([[0, 1.06, -1], [0, 1.06, 1], [0, 2.5, 0.8]], np.float32),
+            inv_mass=1.0, radius=0.1,
+        )
+        b.triangles.append(t1[None, :])
+        b.triangles.append(t2[None, :])
+        s._dirty = True
+        s._prepare()
+
+        from functools import partial
+        from pies_tpu.solver.step import default_detect_collisions
+
+        @partial(jax.jit, static_argnames=("config",))
+        def detect(state, topo, params, config):
+            c = default_detect_collisions(
+                state, state.positions, topo, params, config
+            )
+            return c.edge_idx, c.edge_mask
+
+        e_idx, e_mask = detect(s._state, s._topology, s.current_params(), s._config)
+        e_idx, e_mask = np.asarray(e_idx), np.asarray(e_mask)
+        assert e_mask.sum() >= 1, "no edge contacts generated"
+        live = e_idx[e_mask > 0]
+        # The crossing pair (bottom edges of each strip) must be present.
+        want = {(0, 1, 3, 4), (1, 0, 3, 4), (0, 1, 4, 3)}
+        found = {tuple(sorted(r[:2])) + tuple(sorted(r[2:])) for r in live}
+        assert (0, 1, 3, 4) in found, found
+
+    def test_crossing_strips_resolve(self):
+        # Same geometry, pinned soft: with edge collisions on, one PD tick
+        # pushes the crossing edges apart along their closest direction.
+        s = Solver(
+            SolverOptions(solver=SolverName.PD, gravity=0.0),
+            enable_collisions=False,
+            enable_edge_collisions=True,
+            reference_quirks=False,
+        )
+        b = s._builder
+        t1 = b._emit_nodes(
+            np.array([[-1, 1, 0], [1, 1, 0], [0, 2.5, 0]], np.float32),
+            inv_mass=1.0, radius=0.1,
+        )
+        t2 = b._emit_nodes(
+            np.array([[0, 1.02, -1], [0, 1.02, 1], [0, 2.5, 0.8]], np.float32),
+            inv_mass=1.0, radius=0.1,
+        )
+        b.triangles.append(t1[None, :])
+        b.triangles.append(t2[None, :])
+        s._dirty = True
+
+        def gap(p):
+            # vertical separation of the two crossing edges at their
+            # crossing point (x=0, z=0)
+            return p[3:5, 1].mean() - p[0:2, 1].mean()
+
+        p0 = np.concatenate(b.positions) if False else None
+        g0 = 0.02
+        for _ in range(10):
+            s.tick()
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        assert gap(p) > g0 + 1e-3, (gap(p), g0)
+
+
 class TestRecenteredContactCoupling:
     """The "recentered" coupling keeps contact AᵀA off-diagonals out of the
     CG operator but compensates in the per-iteration RHS; its fixed point is
