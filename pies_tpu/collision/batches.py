@@ -126,6 +126,44 @@ def project_static(
     return p.at[:, 1].set(y)
 
 
+def project_node_node(
+    positions: jax.Array,
+    radius: jax.Array,
+    inv_mass: jax.Array,
+    nn_idx: jax.Array,  # i32[P,2]
+) -> jax.Array:
+    """Node-node local-step projection (``CollisionConstraint.cpp:10-39``):
+    push overlapping spheres apart along their center line, inverse-mass
+    weighted; non-overlapping pairs project to their current positions
+    (w = 1e5, diagonal-only matrix contribution —
+    ``CollisionConstraint.cpp:41-46`` adds w to both diagonal entries and
+    nothing off-diagonal).  Includes the reference's ``(dispLength, 0, 0)``
+    fallback for coincident centers.
+
+    Returns ``projected f32[P, 2, 3]``.
+    """
+    p = positions[nn_idx]  # [P,2,3]
+    a, b = p[:, 0], p[:, 1]
+    diff = b - a
+    dist_sq = jnp.sum(diff * diff, axis=-1)
+    r = radius[nn_idx[:, 0]] + radius[nn_idx[:, 1]]
+    overlapping = dist_sq < r * r
+
+    dist = jnp.sqrt(jnp.maximum(dist_sq, 0.0))
+    disp_len = r - dist
+    disp = jnp.where(
+        (dist > 1e-5)[:, None],
+        disp_len[:, None] * diff / jnp.maximum(dist, 1e-20)[:, None],
+        jnp.stack([disp_len, jnp.zeros_like(disp_len), jnp.zeros_like(disp_len)], axis=-1),
+    )
+    im = inv_mass[nn_idx]  # [P,2]
+    w_sum = jnp.maximum(im[:, 0] + im[:, 1], 1e-20)
+    ov = overlapping.astype(positions.dtype)[:, None]
+    a_proj = a - ov * disp * (im[:, 0] / w_sum)[:, None]
+    b_proj = b + ov * disp * (im[:, 1] / w_sum)[:, None]
+    return jnp.stack([a_proj, b_proj], axis=1)
+
+
 def project_point_tri(
     positions: jax.Array,
     pt_idx: jax.Array,

@@ -721,22 +721,21 @@ def _ccd_and_compact(
     return pt_idx, pt_mask, total
 
 
-def pbd_node_node_response(
+def _node_pair_candidates(
     state,
     x: jax.Array,
-    vel: jax.Array,
     params: PhysicsParams,
     config: StepConfig,
 ):
-    """Inline node-node collision response + friction impulses
-    (``Solver.cpp:81-130``), Jacobi-accumulated over the sorted grid.
+    """Shared node-node broadphase: sorted grid over node AABBs
+    (``NodeCompRange``, ``Solver.cpp:877-901``), deduplicated candidates.
 
-    Matches the reference's pair semantics: every node sweeps the buckets its
-    padded AABB covers (``NodeCompRange``, ``Solver.cpp:877-901``), so each
-    overlapping pair is processed from both sides and once per shared cell —
-    the response below accumulates exactly those contributions.  The 0.85
-    relaxation and mass weighting are the reference's
-    (``Solver.cpp:106-110``).
+    Used by both the live PBD response (``Solver.cpp:81-130``) and the
+    rebuilt PD generation sweep (``Solver.cpp:509-607``) — the reference
+    feeds both from the same ``_spatialHashNodes``.
+
+    Returns ``(cand i32[N,B], ok bool[N,B])`` where ``ok`` marks deduped
+    unordered pairs (``cand > i``) of live nodes.
     """
     budget = config.budget
     n = x.shape[0]
@@ -782,15 +781,76 @@ def pbd_node_node_response(
     cand_valid = first & (cand_sorted != sentinel)
     cand = jnp.minimum(cand_sorted, n - 1)
 
+    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ok = cand_valid & (cand > i_idx) & live[:, None] & live[cand]
+    return cand, ok
+
+
+def detect_node_node_pairs(
+    state,
+    x: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """PD node-node constraint generation — the reference's dormant
+    ``_parallelComputeCollisions`` sweep (``Solver.cpp:509-607``) rebuilt.
+
+    Every unordered pair of live nodes sharing a grid cell becomes one
+    ``CollisionConstraint`` entry (the reference emits a pair per shared
+    bucket with ``node.id > other.id`` and *no* overlap test — the
+    projection itself no-ops on non-overlapping pairs,
+    ``CollisionConstraint.cpp:22-24``).  Pairs beyond the contact budget are
+    dropped gracefully (re-detected next substep); the reference path has no
+    failure latch.
+
+    Returns ``(nn_idx i32[P,2], nn_mask f32[P])``.
+    """
+    cand, ok = _node_pair_candidates(state, x, params, config)
+    n, bwidth = cand.shape
+    cap = config.budget.max_node_node_contacts
+
+    flat = ok.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    dest = jnp.where(flat & (pos < cap), pos, cap)
+    ids = jnp.arange(n * bwidth, dtype=jnp.int32)
+    slot_ids = jnp.full(cap + 1, -1, dtype=jnp.int32).at[dest].set(ids)
+    slot_ids = slot_ids[:cap]
+
+    found = slot_ids >= 0
+    sid = jnp.maximum(slot_ids, 0)
+    i_of = sid // bwidth
+    j_of = cand[i_of, sid % bwidth]
+    nn_idx = jnp.stack([i_of, j_of], axis=-1)
+    nn_idx = jnp.where(found[:, None], nn_idx, 0)
+    return nn_idx, found.astype(x.dtype)
+
+
+def pbd_node_node_response(
+    state,
+    x: jax.Array,
+    vel: jax.Array,
+    params: PhysicsParams,
+    config: StepConfig,
+):
+    """Inline node-node collision response + friction impulses
+    (``Solver.cpp:81-130``), Jacobi-accumulated over the sorted grid.
+
+    Matches the reference's pair semantics: every node sweeps the buckets its
+    padded AABB covers (``NodeCompRange``, ``Solver.cpp:877-901``), so each
+    overlapping pair is processed from both sides and once per shared cell —
+    the response below accumulates exactly those contributions.  The 0.85
+    relaxation and mass weighting are the reference's
+    (``Solver.cpp:106-110``).
+    """
+    live = state.node_mask > 0
+    cand, ok = _node_pair_candidates(state, x, params, config)
+
     # Process each unordered pair once, moving both nodes.  The reference
     # sweeps both directions sequentially: the first visit resolves the
     # overlap (0.85 of it) and the second sees what's left (~0.15) —
     # net ≈ 0.98 of the overlap.  A single symmetric 0.85 push is the
     # Jacobi equivalent; double-counting both directions would apply 1.7x
     # and explode piles.
-    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    ok = cand_valid & (cand > i_idx) & live[:, None] & live[cand]
-
     xi = x[:, None, :]
     xj = x[cand]
     diff = xj - xi

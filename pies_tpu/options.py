@@ -106,6 +106,9 @@ class CollisionBudget:
     # Node-node broadphase (PBD path): neighbor candidates per node.
     max_candidates_per_node: int = 32
     max_cells_per_node: int = 27
+    # Fixed capacity of the PD node-node contact buffer (only used when
+    # StepConfig.enable_node_collisions is on).
+    max_node_node_contacts: int = 256
 
 
 @dataclass(frozen=True)
@@ -141,6 +144,13 @@ class StepConfig:
     # commented out (Solver.cpp:799-823) — but fully functional as the
     # rebuilt capability (SURVEY §2.3).
     enable_edge_collisions: bool = False
+    # Enable the PD node-node collision machinery: constraint generation
+    # from the node grid (Solver.cpp:509-607), the w=1e5 diagonal-only
+    # constraint (CollisionConstraint.cpp:7-65) and the node-node friction
+    # pass (Solver.cpp:398-428).  Dormant in the reference (the generation
+    # sweep is caller-less and tickPD reads an always-empty list); rebuilt
+    # as the capability SURVEY §2.5 scopes.  Off by default.
+    enable_node_collisions: bool = False
     # Reproduce reference quirks bit-for-bit (see FIDELITY.md):
     #  * static floor constraint projects to y=0 regardless of floor_height
     #    (CollisionConstraint.cpp:452-454 vs detection at Solver.cpp:831)

@@ -31,10 +31,12 @@ from ..ops.precision import einsum as _einsum
 from ..collision.batches import (
     ATA_DIFF4,
     W_EDGE,
+    W_NODE_NODE,
     W_POINT_TRI,
     W_STATIC,
     CollisionSet,
     project_edge_edge,
+    project_node_node,
     project_point_tri,
     project_static,
 )
@@ -56,6 +58,7 @@ class LocalStep(NamedTuple):
     point_tri_delta: jax.Array  # [K, 3] point displacement (proj − current)
     edge: jax.Array  # [E, 4, 3]
     edge_delta: jax.Array  # [E, 4, 3] (proj − current, all four nodes move)
+    node_node: jax.Array  # [P, 2, 3]
     static: jax.Array  # [S, 3]
     quats: jax.Array  # [G, 4] updated shape-matching rotations
 
@@ -73,6 +76,7 @@ def local_step(
     reference_quirks: bool,
     strain_contiguous: bool = False,
     volume_contiguous: bool = False,
+    radius: jax.Array | None = None,
 ) -> LocalStep:
     """Project every constraint type onto its manifold from the *same*
     positions — exactly the reference's local step, which reads node state
@@ -84,6 +88,10 @@ def local_step(
     edge_proj, edge_delta = project_edge_edge(
         x, inv_mass, colls.edge_idx, thickness, reference_quirks
     )
+    if colls.nn_idx.shape[0] and radius is not None:
+        nn_proj = project_node_node(x, radius, inv_mass, colls.nn_idx)
+    else:
+        nn_proj = jnp.zeros((colls.nn_idx.shape[0], 2, 3), dtype=x.dtype)
     return LocalStep(
         distance=proj.project_distance(x, topo.distance),
         position=proj.project_position(topo.position),
@@ -96,6 +104,7 @@ def local_step(
         point_tri_delta=pt_delta,
         edge=edge_proj,
         edge_delta=edge_delta,
+        node_node=nn_proj,
         static=project_static(x, colls.static_idx, floor_height, reference_quirks),
         quats=quats,
     )
@@ -198,6 +207,13 @@ def assemble_force(
             # The dense D_e·x lag term rides pt_diag (host folds the edge
             # diagonal into it; see pd_substep).
 
+    # Node-node collisions (CollisionConstraint.cpp:48-65): B = I per node,
+    # so AᵀB·p is just w·p — matrix contribution is diagonal-only and rides
+    # the dense static_diag in the operator.
+    if colls.nn_idx.shape[0]:
+        wn = W_NODE_NODE * colls.nn_mask
+        f = f.at[colls.nn_idx].add(wn[:, None, None] * local.node_node)
+
     # Static floor collisions (CollisionConstraint.cpp:457-463).
     ws = W_STATIC * colls.static_mask
     f = f.at[colls.static_idx].add(ws[:, None] * local.static)
@@ -240,6 +256,21 @@ def edge_collision_diag(
     ).astype(dtype)
 
 
+def node_node_diag(
+    colls: CollisionSet, num_nodes: int, dtype
+) -> jax.Array:
+    """Dense per-node diagonal of the node-node contacts.  The reference's
+    ``setupCollisionMatrix`` adds w to both diagonal entries and nothing
+    else (``CollisionConstraint.cpp:41-46``), so the constraint's entire
+    matrix contribution folds into the dense diagonal — zero per-CG-apply
+    cost."""
+    wn = W_NODE_NODE * colls.nn_mask
+    contrib = jnp.broadcast_to(wn[:, None], (wn.shape[0], 2))
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), colls.nn_idx.reshape(-1), num_segments=num_nodes
+    ).astype(dtype)
+
+
 def apply_system(
     x: jax.Array,
     mass_over_h2: jax.Array,
@@ -253,6 +284,8 @@ def apply_system(
     """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
     if static_diag is None:
         static_diag = static_collision_diag(colls, x.shape[0], x.dtype)
+        if colls.nn_idx.shape[0]:
+            static_diag = static_diag + node_node_diag(colls, x.shape[0], x.dtype)
         if contact_coupling in ("diagonal", "recentered"):
             static_diag = static_diag + point_tri_collision_diag(
                 colls, x.shape[0], x.dtype
@@ -312,6 +345,8 @@ def system_diag(
     if colls.edge_idx.shape[0]:
         we = W_EDGE * colls.edge_mask
         diag = diag.at[colls.edge_idx].add(we[:, None] * ata_d[None, :])
+    if colls.nn_idx.shape[0]:
+        diag = diag + node_node_diag(colls, diag.shape[0], diag.dtype)
     diag = diag + static_collision_diag(colls, diag.shape[0], diag.dtype)
     return diag
 

@@ -52,6 +52,7 @@ class Solver:
         rotation_iterations: int = 20,
         enable_collisions: bool = True,
         enable_edge_collisions: bool = False,
+        enable_node_collisions: bool = False,
         reference_quirks: bool = True,
         broadphase_mode: str = "celllist",
         contact_coupling: str = "full",
@@ -65,6 +66,7 @@ class Solver:
         self._rotation_iterations = rotation_iterations
         self._enable_collisions = enable_collisions
         self._enable_edge_collisions = enable_edge_collisions
+        self._enable_node_collisions = enable_node_collisions
         self._reference_quirks = reference_quirks
         self._broadphase_mode = broadphase_mode
         self._contact_coupling = contact_coupling
@@ -389,6 +391,7 @@ class Solver:
             rotation_iterations=self._rotation_iterations,
             enable_collisions=self._enable_collisions,
             enable_edge_collisions=self._enable_edge_collisions,
+            enable_node_collisions=self._enable_node_collisions,
             reference_quirks=self._reference_quirks,
             broadphase_mode=self._broadphase_mode,
             contact_coupling=self._contact_coupling,

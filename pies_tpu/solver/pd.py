@@ -62,6 +62,12 @@ def pd_substep(
     static_diag = assembly.static_collision_diag(
         colls, state.capacity, x.dtype
     )
+    if colls.nn_idx.shape[0]:
+        # Node-node contacts are diagonal-only in the reference's collision
+        # matrix (CollisionConstraint.cpp:41-46) — dense fold, no operator cost.
+        static_diag = static_diag + assembly.node_node_diag(
+            colls, state.capacity, x.dtype
+        )
     pt_diag = None
     if config.contact_coupling in ("diagonal", "recentered"):
         pt_diag = assembly.point_tri_collision_diag(
@@ -98,6 +104,7 @@ def pd_substep(
             config.reference_quirks,
             config.strain_contiguous,
             config.volume_contiguous,
+            radius=state.radius,
         )
         force = assembly.assemble_force(
             msn_h2,
@@ -169,6 +176,10 @@ def pd_substep(
         + h * state.forces * state.inv_mass[:, None]
     ) * mask
 
+    if colls.nn_idx.shape[0]:
+        vel = _node_node_friction(
+            x, vel, state.inv_mass, state.radius, colls, params
+        )
     vel = _point_tri_friction(x, vel, state.inv_mass, colls, params)
     vel = _static_floor_friction(vel, colls, params, state.capacity)
 
@@ -186,6 +197,57 @@ def pd_substep(
         new_state, sim_failed=jnp.logical_or(state.sim_failed, failed)
     )
     return new_state, residual
+
+
+def _node_node_friction(
+    x: jax.Array,
+    vel: jax.Array,
+    inv_mass: jax.Array,
+    radius: jax.Array,
+    colls: CollisionSet,
+    params: PhysicsParams,
+) -> jax.Array:
+    """Node-node friction pass (``Solver.cpp:398-428``), Jacobi-accumulated.
+
+    Touching pairs (center distance ≤ radius sum) damp their relative
+    tangential velocity by ``friction``.  The reference's static branch sets
+    ``friction = 1.0`` *without* flipping the sign it later negates
+    (``Solver.cpp:414-417``), which would amplify rather than cancel the
+    relative velocity — dead by default (``staticFrictionThreshold = 0``);
+    reproduced literally.
+    """
+    idx = colls.nn_idx
+    pa, pb = x[idx[:, 0]], x[idx[:, 1]]
+    diff = pb - pa
+    dist = jnp.linalg.norm(diff, axis=-1)
+    r = radius[idx[:, 0]] + radius[idx[:, 1]]
+    touching = (dist <= r) & (colls.nn_mask > 0)
+    n = diff / jnp.maximum(dist, 1e-20)[:, None]
+
+    va, vb = vel[idx[:, 0]], vel[idx[:, 1]]
+    rel = vb - va
+    perp = rel - jnp.sum(rel * n, axis=-1, keepdims=True) * n
+    friction = jnp.where(
+        jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold,
+        -1.0,  # the reference's sign-quirked static branch (friction = 1.0f)
+        params.friction,
+    )
+    im = inv_mass[idx]  # [P,2]
+    w_sum = jnp.maximum(im[:, 0] + im[:, 1], 1e-20)
+    # a.vel += -friction_ref·perp·imA/wSum with friction_ref = −options.friction
+    # in the dynamic branch — i.e. a gains +f·perp, b loses f·perp.
+    dva = (friction[:, None] * perp) * (im[:, 0] / w_sum)[:, None]
+    dvb = -(friction[:, None] * perp) * (im[:, 1] / w_sum)[:, None]
+    m = touching.astype(vel.dtype)
+
+    # Count-averaged Jacobi application (cf. _point_tri_friction's note).
+    delta = jnp.zeros_like(vel)
+    count = jnp.zeros(vel.shape[0], vel.dtype)
+    delta = delta.at[idx[:, 0]].add(dva * m[:, None])
+    count = count.at[idx[:, 0]].add(m)
+    delta = delta.at[idx[:, 1]].add(dvb * m[:, None])
+    count = count.at[idx[:, 1]].add(m)
+    return vel + delta / jnp.maximum(count, 1.0)[:, None]
 
 
 def _point_tri_friction(

@@ -61,6 +61,11 @@ def default_detect_collisions(state, x, topo, params, config: StepConfig):
             edge_mask=edge_mask,
             overflow=jnp.logical_or(colls.overflow, e_overflow),
         )
+    if config.enable_node_collisions:
+        from ..collision.broadphase import detect_node_node_pairs
+
+        nn_idx, nn_mask = detect_node_node_pairs(state, x, params, config)
+        colls = replace(colls, nn_idx=nn_idx, nn_mask=nn_mask)
     return colls
 
 
