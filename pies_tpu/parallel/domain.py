@@ -1,0 +1,749 @@
+"""Spatial domain decomposition: one big scene sharded over a device mesh.
+
+The reference has no distributed story at all (SURVEY §2.8 — its only
+parallelism is intra-process CPU threads, ``Solver.cpp:558-566``).  This is
+the new-scope capability for scenes beyond one chip: particles are sharded
+into spatial *slabs* along one axis, each device owns a contiguous block of
+``L`` (renumbered) nodes plus ``B`` halo copies of each neighbor's boundary
+band, and the whole PD substep runs under ``shard_map``:
+
+* **Halo refresh** (2 ``ppermute``s): before every operator application each
+  device receives the current positions of its neighbors' boundary bands.
+* **Halo reduce** (2 ``ppermute``s): constraint contributions scattered into
+  halo slots are returned to the owning device and summed — the distributed
+  equivalent of the global scatter-add.
+* **CG on owned nodes only**: inner products are ``psum``-reduced over the
+  mesh axis, so the Krylov iteration is *exactly* the single-device one (up
+  to f32 summation order).
+
+The host-side partitioner renumbers nodes by spatial sort, assigns every
+constraint to the slab owning its lowest node, and verifies the halo band
+covers every constraint's index spread — constraints never span more than
+two adjacent slabs by construction of the sort.
+
+v1 scope: the full PD constraint stack (distance / position / strain /
+volume / bend / shape / goal) + floor contacts (assigned per *corner owner*,
+so they are exactly local).  The dynamic point-triangle collision pipeline
+is not yet domain-sharded — partition scenes with ``enable_collisions=False``
+semantics (the ensemble path covers collision-heavy multi-scene rollouts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..collision.batches import W_STATIC, empty_collision_set
+from ..options import PhysicsParams, StepConfig
+from ..state import SolverState, park_positions
+from ..topology import (
+    BendBatch,
+    DistanceBatch,
+    GroupBatch,
+    PositionBatch,
+    TetBatch,
+    Topology,
+)
+from ..solver import assembly
+
+_F32 = np.float32
+_I32 = np.int32
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, -(-n // m) * m)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DomainState:
+    """Per-slab dynamic state; every leaf has a leading device axis [D, ...]."""
+
+    positions: jax.Array  # f32[D, L, 3] owned nodes
+    prev_positions: jax.Array  # f32[D, L, 3]
+    velocities: jax.Array  # f32[D, L, 3]
+    shape_quats: jax.Array  # f32[D, G, 4]
+    sim_failed: jax.Array  # bool[D]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DomainStatic:
+    """Per-slab static data (node attributes as halo *views*, local-index
+    constraint batches); leading device axis [D, ...]."""
+
+    # Node attributes over the local view [L + 2B] (halo values are real
+    # neighbor attributes — needed by projections that read inv_mass/mass).
+    inv_mass_view: jax.Array  # f32[D, V]
+    mass_view: jax.Array  # f32[D, V]
+    node_mask_view: jax.Array  # f32[D, V]
+    # Owner-only mass embedded in the view (halo slots zero): the M/h² terms
+    # of the operator and RHS count each node exactly once — on its owner.
+    mass_own_view: jax.Array  # f32[D, V]
+    # Owned slice of the global assembled stiffness diagonal (complete: the
+    # global precompute already sums every constraint, including ones
+    # assigned to neighbor slabs).
+    stiffness_diag_own: jax.Array  # f32[D, L]
+    # Constraint batches with view-local indices (stiffness_diag zeroed).
+    topo: Topology  # leaves [D, ...]
+    # Floor-contact corner entries, partitioned by *corner owner* — one entry
+    # per (triangle, corner) exactly like Solver.cpp:829-834, so multiplicity
+    # and snapping stay bit-identical without halo traffic.
+    static_corner_idx: jax.Array  # i32[D, S] view-local (owned band)
+    static_corner_mask: jax.Array  # f32[D, S]
+
+
+@dataclass(frozen=True)
+class DomainMeta:
+    """Static partition geometry (jit-static)."""
+
+    n_slabs: int
+    block: int  # L: owned nodes per slab
+    halo: int  # B: halo band width (nodes)
+    axis_name: str = "x"
+
+    @property
+    def view(self) -> int:
+        return self.block + 2 * self.halo
+
+
+@dataclass
+class Domain:
+    """Host-side partition result."""
+
+    meta: DomainMeta
+    state: DomainState
+    static: DomainStatic
+    perm: np.ndarray  # new -> old node index
+    inv_perm: np.ndarray  # old -> new
+    group_slab: np.ndarray  # global group -> (slab, local group slot)
+
+
+# ---------------------------------------------------------------------------
+# Host-side partitioner
+# ---------------------------------------------------------------------------
+
+
+def _slab_of(idx_new: np.ndarray, w: np.ndarray, block: int) -> np.ndarray:
+    """Slab owning each constraint: the slab of its lowest (live) node."""
+    lo = idx_new.min(axis=-1) if idx_new.ndim > 1 else idx_new
+    return np.where(np.asarray(w) > 0, lo // block, 0).astype(_I32)
+
+
+def _needed_halo(idx_new: np.ndarray, w: np.ndarray, block: int) -> int:
+    if idx_new.size == 0:
+        return 0
+    idx2 = idx_new.reshape(idx_new.shape[0], -1)
+    live = np.asarray(w) > 0
+    if not np.any(live):
+        return 0
+    slab = idx2.min(axis=-1) // block
+    over = idx2.max(axis=-1) - ((slab + 1) * block - 1)
+    return int(max(0, over[live].max()))
+
+
+def _stack_rows(
+    rows_per_slab: list[np.ndarray], cap: int, fill=0
+) -> np.ndarray:
+    d = len(rows_per_slab)
+    shape = (d, cap) + rows_per_slab[0].shape[1:]
+    out = np.full(shape, fill, dtype=rows_per_slab[0].dtype)
+    for s, r in enumerate(rows_per_slab):
+        out[s, : r.shape[0]] = r
+    return out
+
+
+def partition_domain(
+    state: SolverState,
+    topo: Topology,
+    n_slabs: int,
+    halo: int | None = None,
+    sort_axis: int | None = None,
+) -> Domain:
+    """Partition a scene into ``n_slabs`` spatial slabs.
+
+    Renumbers nodes by a spatial sort along the longest scene axis, sizes the
+    halo band from the actual constraint index spreads (unless given), and
+    emits per-slab constraint batches in view-local coordinates.
+    """
+    pos = np.asarray(state.positions, _F32)
+    mask = np.asarray(state.node_mask, _F32)
+    live = mask > 0
+
+    if sort_axis is None:
+        lp = pos[live]
+        ext = lp.max(axis=0) - lp.min(axis=0) if lp.size else np.ones(3)
+        sort_axis = int(np.argmax(ext))
+
+    key = np.where(live, pos[:, sort_axis], np.float32(np.inf))
+    perm = np.argsort(key, kind="stable").astype(_I32)  # new -> old
+
+    n_cap = pos.shape[0]
+    block = _round_up(-(-n_cap // n_slabs), 8)
+    total = block * n_slabs
+    extra = total - n_cap  # extend with extra parked padding nodes
+
+    inv_perm = np.empty(total, dtype=_I32)
+    inv_perm[perm] = np.arange(n_cap, dtype=_I32)
+    inv_perm[n_cap:] = np.arange(n_cap, total, dtype=_I32)
+
+    def node_attr(a: np.ndarray, pad_value) -> np.ndarray:
+        a = np.asarray(a)
+        padded = np.concatenate(
+            [a[perm], np.full((extra,) + a.shape[1:], pad_value, a.dtype)]
+        )
+        return padded
+
+    pos_n = node_attr(pos, 0.0)
+    if extra:
+        pos_n[n_cap:] = park_positions(extra, offset=n_cap)
+    prev_n = node_attr(np.asarray(state.prev_positions, _F32), 0.0)
+    if extra:
+        prev_n[n_cap:] = pos_n[n_cap:]
+    vel_n = node_attr(np.asarray(state.velocities, _F32), 0.0)
+    im_n = node_attr(np.asarray(state.inv_mass, _F32), 0.0)
+    m_n = node_attr(np.asarray(state.mass, _F32), 1.0)
+    mask_n = node_attr(mask, 0.0)
+
+    # --- halo sizing from actual constraint spreads -----------------------
+    def remap(idx):
+        return inv_perm[np.asarray(idx, _I32)]
+
+    d_idx = remap(np.asarray(topo.distance.idx))
+    p_idx = remap(np.asarray(topo.position.idx))
+    s_idx = remap(np.asarray(topo.strain.idx))
+    v_idx = remap(np.asarray(topo.volume.idx))
+    b_idx = remap(np.asarray(topo.bend.idx))
+    tri_idx = remap(np.asarray(topo.triangles))
+
+    need = 0
+    for idx, w in (
+        (d_idx, topo.distance.w),
+        (s_idx, topo.strain.w),
+        (v_idx, topo.volume.w),
+        (b_idx, topo.bend.w),
+    ):
+        need = max(need, _needed_halo(idx, np.asarray(w), block))
+
+    # Shape/goal groups: spread measured over each group's members.
+    def group_spread(grp: GroupBatch):
+        ni = remap(np.asarray(grp.node_idx))
+        gi = np.asarray(grp.group_idx)
+        mm = np.asarray(grp.member_mask) > 0
+        worst = 0
+        for g in range(grp.num_groups):
+            sel = mm & (gi == g)
+            if not np.any(sel):
+                continue
+            lo, hi = ni[sel].min(), ni[sel].max()
+            worst = max(worst, int(hi - (lo // block + 1) * block + 1))
+        return max(0, worst)
+
+    need = max(need, group_spread(topo.shape), group_spread(topo.goal))
+    if halo is None:
+        halo = _round_up(max(need, 8), 8)
+    elif need > halo:
+        raise ValueError(
+            f"halo {halo} too small: constraints span {need} nodes past "
+            f"their slab boundary (block={block})"
+        )
+    if halo > block:
+        raise ValueError(
+            f"halo {halo} exceeds block {block}: too many slabs for this "
+            "scene's constraint locality"
+        )
+    meta = DomainMeta(n_slabs=n_slabs, block=block, halo=halo)
+    view = meta.view
+
+    def localize(idx_new: np.ndarray, slab: np.ndarray) -> np.ndarray:
+        loc = idx_new - slab.reshape((-1,) + (1,) * (idx_new.ndim - 1)) * block + halo
+        return np.clip(loc, 0, view - 1).astype(_I32)
+
+    # --- per-slab constraint batches --------------------------------------
+    def split(idx_new, w, *extras):
+        """Partition one batch's rows by slab; returns per-slab row lists of
+        (local_idx, w, *extras)."""
+        w = np.asarray(w)
+        slab = _slab_of(idx_new, w, block)
+        rows = []
+        for s in range(n_slabs):
+            sel = (slab == s) & (w > 0)
+            loc = localize(idx_new[sel], slab[sel])
+            rows.append((loc, w[sel]) + tuple(np.asarray(e)[sel] for e in extras))
+        return rows
+
+    def stack_batch(rows, mk):
+        cap = _round_up(max((r[0].shape[0] for r in rows), default=0), 8)
+        cols = len(rows[0])
+        stacked = []
+        for c in range(cols):
+            per = [r[c] for r in rows]
+            fill = 0
+            stacked.append(_stack_rows(per, cap, fill))
+        return mk(*stacked)
+
+    dist_rows = split(d_idx, topo.distance.w, topo.distance.rest)
+    dist = stack_batch(
+        dist_rows, lambda i, w, rest: DistanceBatch(idx=i, rest=rest, w=w)
+    )
+    pos_rows = split(
+        p_idx.reshape(-1, 1), topo.position.w, topo.position.target
+    )
+    posb = stack_batch(
+        pos_rows,
+        lambda i, w, tgt: PositionBatch(idx=i[..., 0], target=tgt, w=w),
+    )
+
+    def tet_batch(idx_new, t: TetBatch):
+        rows = split(idx_new, t.w, t.qinv, t.g, t.lo, t.hi)
+        return stack_batch(
+            rows,
+            lambda i, w, qinv, g, lo, hi: TetBatch(
+                idx=i, qinv=qinv, g=g, lo=lo, hi=hi, w=w
+            ),
+        )
+
+    strain = tet_batch(s_idx, topo.strain)
+    volume = tet_batch(v_idx, topo.volume)
+    bend_rows = split(b_idx, topo.bend.w, topo.bend.rest_angle)
+    bend = stack_batch(
+        bend_rows, lambda i, w, rest: BendBatch(idx=i, rest_angle=rest, w=w)
+    )
+
+    def split_groups(grp: GroupBatch):
+        """Assign each group to the slab of its lowest member."""
+        ni = remap(np.asarray(grp.node_idx))
+        gi = np.asarray(grp.group_idx)
+        mm = np.asarray(grp.member_mask) > 0
+        g_slab = np.zeros(grp.num_groups, _I32)
+        g_map = np.full((grp.num_groups, 2), -1, _I32)
+        members: list[list] = [[] for _ in range(n_slabs)]
+        groups: list[list] = [[] for _ in range(n_slabs)]
+        gmask = np.asarray(grp.group_mask)
+        for g in range(grp.num_groups):
+            sel = mm & (gi == g)
+            if not (gmask[g] > 0 and np.any(sel)):
+                continue
+            s = int(ni[sel].min() // block)
+            g_slab[g] = s
+            slot = len(groups[s])
+            g_map[g] = (s, slot)
+            groups[s].append(g)
+            loc = ni[sel] - s * block + halo
+            members[s].append(
+                (
+                    loc.astype(_I32),
+                    np.full(loc.shape[0], slot, _I32),
+                    np.asarray(grp.mat_coords)[sel],
+                )
+            )
+        m_cap = _round_up(
+            max((sum(m[0].shape[0] for m in ms) for ms in members), default=0),
+            8,
+        )
+        g_cap = max(1, max((len(g) for g in groups), default=1))
+        ni_s = np.zeros((n_slabs, m_cap), _I32)
+        gi_s = np.full((n_slabs, m_cap), g_cap - 1, _I32)
+        mc_s = np.zeros((n_slabs, m_cap, 3), _F32)
+        mm_s = np.zeros((n_slabs, m_cap), _F32)
+        w_s = np.zeros((n_slabs, g_cap), _F32)
+        gm_s = np.zeros((n_slabs, g_cap), _F32)
+        ic_s = np.ones((n_slabs, g_cap), _F32)
+        qi_s = np.tile(np.eye(3, dtype=_F32), (n_slabs, g_cap, 1, 1))
+        tf_s = np.tile(np.eye(4, dtype=_F32), (n_slabs, g_cap, 1, 1))
+        for s in range(n_slabs):
+            off = 0
+            for slot, g in enumerate(groups[s]):
+                loc, gl, mc = members[s][slot]
+                cnt = loc.shape[0]
+                ni_s[s, off : off + cnt] = loc
+                gi_s[s, off : off + cnt] = gl
+                mc_s[s, off : off + cnt] = mc
+                mm_s[s, off : off + cnt] = 1.0
+                off += cnt
+                w_s[s, slot] = np.asarray(grp.w)[g]
+                gm_s[s, slot] = 1.0
+                ic_s[s, slot] = np.asarray(grp.inv_count)[g]
+                qi_s[s, slot] = np.asarray(grp.qinv)[g]
+                tf_s[s, slot] = np.asarray(grp.transforms)[g]
+        batch = GroupBatch(
+            node_idx=ni_s,
+            group_idx=gi_s,
+            mat_coords=mc_s,
+            member_mask=mm_s,
+            w=w_s,
+            group_mask=gm_s,
+            inv_count=ic_s,
+            qinv=qi_s,
+            transforms=tf_s,
+        )
+        return batch, g_map
+
+    shape_b, shape_map = split_groups(topo.shape)
+    goal_b, goal_map = split_groups(topo.goal)
+
+    # Floor-contact corner entries by corner OWNER (exactly local).
+    corners = tri_idx.reshape(-1)
+    cm = np.repeat(np.asarray(topo.tri_mask), 3) > 0
+    c_slab = corners // block
+    c_rows = []
+    for s in range(n_slabs):
+        sel = cm & (c_slab == s)
+        c_rows.append((corners[sel] - s * block + halo).astype(_I32))
+    s_cap = _round_up(max((r.shape[0] for r in c_rows), default=0), 8)
+    sc_idx = _stack_rows(c_rows, s_cap)
+    sc_mask = _stack_rows(
+        [np.ones(r.shape[0], _F32) for r in c_rows], s_cap
+    )
+
+    # --- node-attribute views ---------------------------------------------
+    def window(a: np.ndarray, pad_value=0.0) -> np.ndarray:
+        padded = np.concatenate(
+            [
+                np.full((halo,) + a.shape[1:], pad_value, a.dtype),
+                a,
+                np.full((halo,) + a.shape[1:], pad_value, a.dtype),
+            ]
+        )
+        return np.stack(
+            [padded[s * block : s * block + view] for s in range(n_slabs)]
+        )
+
+    # Global assembled stiffness diagonal, owned slices.
+    stiff = np.concatenate(
+        [np.asarray(topo.stiffness_diag)[perm], np.zeros(extra, _F32)]
+    )
+    stiff_own = stiff.reshape(n_slabs, block)
+
+    d_axis = n_slabs
+    topo_local = Topology(
+        distance=dist,
+        position=posb,
+        strain=strain,
+        volume=volume,
+        bend=bend,
+        shape=shape_b,
+        goal=goal_b,
+        triangles=np.zeros((d_axis, 0, 3), _I32),
+        tri_mask=np.zeros((d_axis, 0), _F32),
+        tri_rep_mask=np.zeros((d_axis, 0), _F32),
+        tri_body_count=np.zeros((d_axis, 0), _I32),
+        tets=np.zeros((d_axis, 0, 4), _I32),
+        tet_mask=np.zeros((d_axis, 0), _F32),
+        stiffness_diag=np.zeros((d_axis, view), _F32),
+    )
+
+    quats = np.asarray(state.shape_quats, _F32)
+    g_cap_s = shape_b.w.shape[1]
+    quats_s = np.zeros((n_slabs, g_cap_s, 4), _F32)
+    quats_s[..., 0] = 1.0
+    for g, (s, slot) in enumerate(shape_map):
+        if s >= 0 and g < quats.shape[0]:
+            quats_s[s, slot] = quats[g]
+
+    dstate = DomainState(
+        positions=pos_n.reshape(n_slabs, block, 3),
+        prev_positions=prev_n.reshape(n_slabs, block, 3),
+        velocities=vel_n.reshape(n_slabs, block, 3),
+        shape_quats=quats_s,
+        sim_failed=np.zeros(n_slabs, bool),
+    )
+    mass_own = np.where(mask_n > 0, m_n, m_n)  # padded nodes keep mass 1
+    dstatic = DomainStatic(
+        inv_mass_view=window(im_n),
+        mass_view=window(m_n, pad_value=1.0),
+        node_mask_view=window(mask_n),
+        mass_own_view=window(mass_own) * _own_window_mask(meta),
+        stiffness_diag_own=stiff_own,
+        topo=topo_local,
+        static_corner_idx=sc_idx,
+        static_corner_mask=sc_mask,
+    )
+    return Domain(
+        meta=meta,
+        state=dstate,
+        static=dstatic,
+        perm=perm,
+        inv_perm=inv_perm[:n_cap],
+        group_slab=shape_map,
+    )
+
+
+def _own_window_mask(meta: DomainMeta) -> np.ndarray:
+    m = np.zeros(meta.view, _F32)
+    m[meta.halo : meta.halo + meta.block] = 1.0
+    return m[None, :]
+
+
+def gather_positions(domain: Domain, dstate: DomainState) -> np.ndarray:
+    """Owned positions back in the original node order (live prefix)."""
+    flat = np.asarray(dstate.positions).reshape(-1, 3)
+    return flat[domain.inv_perm]
+
+
+# ---------------------------------------------------------------------------
+# Device-side sharded step
+# ---------------------------------------------------------------------------
+
+
+def _halo_refresh(x_own: jax.Array, meta: DomainMeta) -> jax.Array:
+    """[L, ...] owned -> [L+2B, ...] view with neighbor boundary bands."""
+    b, d, ax = meta.halo, meta.n_slabs, meta.axis_name
+    right_band = x_own[-b:]
+    left_band = x_own[:b]
+    # My left halo is my LEFT neighbor's tail: left neighbor sends forward.
+    from_left = jax.lax.ppermute(
+        right_band, ax, perm=[(i, i + 1) for i in range(d - 1)]
+    )
+    from_right = jax.lax.ppermute(
+        left_band, ax, perm=[(i + 1, i) for i in range(d - 1)]
+    )
+    return jnp.concatenate([from_left, x_own, from_right], axis=0)
+
+
+def _halo_reduce(y_view: jax.Array, meta: DomainMeta) -> jax.Array:
+    """[L+2B, ...] view partials -> [L, ...] complete owned values."""
+    b, l, d, ax = meta.halo, meta.block, meta.n_slabs, meta.axis_name
+    own = y_view[b : b + l]
+    to_left = y_view[:b]  # partials for my left neighbor's tail
+    to_right = y_view[b + l :]
+    from_right = jax.lax.ppermute(
+        to_left, ax, perm=[(i + 1, i) for i in range(d - 1)]
+    )
+    from_left = jax.lax.ppermute(
+        to_right, ax, perm=[(i, i + 1) for i in range(d - 1)]
+    )
+    own = own.at[l - b :].add(from_right).at[:b].add(from_left)
+    return own
+
+
+def _domain_pcg(matvec, b_own, x0_own, diag_own, iterations, meta):
+    """Jacobi-PCG on owned nodes; inner products ``psum`` over the mesh axis
+    (the distributed twin of ``assembly.pcg_solve``)."""
+    ax = meta.axis_name
+    inv_diag = (1.0 / diag_own)[:, None]
+
+    def dot(a, c):
+        return jax.lax.psum(jnp.sum(a * c), ax)
+
+    r = b_own - matvec(x0_own)
+    z = inv_diag * r
+    p = z
+    rz = dot(r, z)
+
+    def step(_, carry):
+        x, r, p, rz = carry
+        ap = matvec(p)
+        p_ap = dot(p, ap)
+        alpha = jnp.where(p_ap > 0, rz / jnp.maximum(p_ap, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, _, _ = jax.lax.fori_loop(0, iterations, step, (x0_own, r, p, rz))
+    return x, jnp.sqrt(dot(r, r))
+
+
+def _domain_substep(
+    dstate_l,
+    dstatic_l,
+    params: PhysicsParams,
+    config: StepConfig,
+    meta: DomainMeta,
+):
+    """One PD substep on one slab (runs inside shard_map; all arrays local)."""
+    b, l = meta.halo, meta.block
+    h = params.dt
+    h2 = h * h
+    topo = dstatic_l.topo
+    mask_own = dstatic_l.node_mask_view[b : b + l, None]
+    im_own = dstatic_l.inv_mass_view[b : b + l]
+    mass_own = dstatic_l.mass_own_view[b : b + l]
+
+    # Inertia estimate on owned nodes (Solver.cpp:229-238); gravity force.
+    forces_own = (
+        jnp.zeros((l, 3), dstate_l.positions.dtype)
+        .at[:, 1]
+        .set(-params.gravity * mass_own * mask_own[:, 0])
+    )
+    x_own = dstate_l.positions + h * dstate_l.velocities * mask_own
+    prev_own = dstate_l.prev_positions
+
+    # Floor contacts from owned corner entries (exactly local).
+    x_view = _halo_refresh(x_own, meta)
+    sidx = dstatic_l.static_corner_idx
+    y_c = x_view[sidx, 1]
+    static_mask = (
+        (y_c < params.floor_height + params.collision_thickness)
+        & (dstatic_l.static_corner_mask > 0)
+    ).astype(x_own.dtype)
+    colls = empty_collision_set(pt_cap=0, static_cap=sidx.shape[0])
+    colls = replace(colls, static_idx=sidx, static_mask=static_mask)
+
+    mass_h2_view = dstatic_l.mass_own_view / h2
+    msn_h2_own = x_own * (mass_own / h2)[:, None]
+
+    # Static-contact diagonal lives on owned slots only (corner ownership).
+    static_diag_view = jax.ops.segment_sum(
+        W_STATIC * static_mask, sidx, num_segments=meta.view
+    ).astype(x_own.dtype)
+    diag_own = (
+        mass_own / h2
+        + dstatic_l.stiffness_diag_own
+        + static_diag_view[b : b + l]
+    )
+
+    def matvec(v_own):
+        v_view = _halo_refresh(v_own, meta)
+        y_view = assembly.apply_system(
+            v_view,
+            mass_h2_view,
+            topo,
+            colls,
+            static_diag=static_diag_view,
+            contact_coupling=config.contact_coupling,
+        )
+        return _halo_reduce(y_view, meta)
+
+    def iteration(_, carry):
+        x_own, quats, residual, _ = carry
+        x_view = _halo_refresh(x_own, meta)
+        local = assembly.local_step(
+            x_view,
+            dstatic_l.inv_mass_view,
+            dstatic_l.mass_view,
+            quats,
+            topo,
+            colls,
+            params.collision_thickness,
+            params.floor_height,
+            config.rotation_iterations,
+            config.reference_quirks,
+        )
+        # RHS: M sn/h² on owned slots + constraint AᵀB p over the view.
+        msn_view = (
+            jnp.zeros((meta.view, 3), x_own.dtype).at[b : b + l].set(msn_h2_own)
+        )
+        f_view = assembly.assemble_force(
+            msn_view,
+            local,
+            topo,
+            colls,
+            contact_coupling=config.contact_coupling,
+        )
+        f_own = _halo_reduce(f_view, meta)
+        x_new, residual = _domain_pcg(
+            matvec, f_own, x_own, diag_own, config.cg_iterations, meta
+        )
+        x_new = jnp.where(mask_own > 0, x_new, x_own)
+        return x_new, local.quats, residual, local.static
+
+    static_proj0 = jnp.zeros((sidx.shape[0], 3), x_own.dtype)
+    x_own, quats, residual, static_proj = jax.lax.fori_loop(
+        0,
+        config.iterations,
+        iteration,
+        (
+            x_own,
+            dstate_l.shape_quats,
+            jnp.asarray(0.0, x_own.dtype),
+            static_proj0,
+        ),
+    )
+
+    # Stabilization: floor snap only (corner entries are owned).
+    def stabilize(_, x_own):
+        x_view = _halo_refresh(x_own, meta)
+        snap = static_mask[:, None] > 0
+        x_view = x_view.at[sidx].set(
+            jnp.where(snap, static_proj, x_view[sidx])
+        )
+        return x_view[b : b + l]
+
+    x_own = jax.lax.fori_loop(
+        0, config.collision_stabilization_iterations, stabilize, x_own
+    )
+
+    vel = (
+        (1.0 - params.damping) * (x_own - prev_own) / h
+        + h * forces_own * im_own[:, None]
+    ) * mask_own
+
+    # Floor friction (Solver.cpp:473-484) per owned node.
+    counts = jax.ops.segment_sum(static_mask, sidx, num_segments=meta.view)[
+        b : b + l
+    ]
+    perp = vel.at[:, 1].set(0.0)
+    static = (
+        jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold
+    )
+    factor = jnp.where(
+        static, jnp.zeros_like(counts), (1.0 - params.friction) ** counts
+    )
+    factor = jnp.where(counts > 0, factor, 1.0)
+    scaled = vel * factor[:, None]
+    vel = vel.at[:, 0].set(scaled[:, 0]).at[:, 2].set(scaled[:, 2])
+
+    failed_local = ~jnp.all(jnp.isfinite(x_own))
+    any_failed = (
+        jax.lax.psum(failed_local.astype(jnp.int32), meta.axis_name) > 0
+    )
+    new_state = DomainState(
+        positions=x_own,
+        prev_positions=x_own,
+        velocities=vel,
+        shape_quats=quats,
+        sim_failed=jnp.logical_or(dstate_l.sim_failed, any_failed),
+    )
+    return new_state, residual
+
+
+def make_domain_tick(mesh: Mesh, config: StepConfig, meta: DomainMeta):
+    """Compile the sharded tick: ``time_substeps`` domain substeps under one
+    ``shard_map`` program.  Returns ``tick(dstate, dstatic, params) ->
+    (dstate, residual)``."""
+    dspec = jax.tree_util.tree_map(lambda _: P(meta.axis_name), _struct(DomainState))
+    sspec = jax.tree_util.tree_map(lambda _: P(meta.axis_name), _struct(DomainStatic))
+
+    def local_tick(dstate_l, dstatic_l, params):
+        # Shard-local leaves arrive with a leading length-1 device axis.
+        dstate_l = jax.tree_util.tree_map(lambda a: a[0], dstate_l)
+        dstatic_l = jax.tree_util.tree_map(lambda a: a[0], dstatic_l)
+
+        def sub(carry, _):
+            s, _ = carry
+            s, res = _domain_substep(s, dstatic_l, params, config, meta)
+            return (s, res), None
+
+        (dstate_l, res), _ = jax.lax.scan(
+            sub,
+            (dstate_l, jnp.asarray(0.0, jnp.float32)),
+            None,
+            length=config.time_substeps,
+        )
+        dstate_l = jax.tree_util.tree_map(lambda a: a[None], dstate_l)
+        return dstate_l, res
+
+    sharded = jax.shard_map(
+        local_tick,
+        mesh=mesh,
+        in_specs=(dspec, sspec, P()),
+        out_specs=(dspec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _struct(cls):
+    import dataclasses
+
+    return cls(**{f.name: 0 for f in dataclasses.fields(cls)})

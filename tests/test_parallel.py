@@ -108,3 +108,82 @@ class TestGraftEntry:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
+
+
+class TestDomainDecomposition:
+    """Spatial slab sharding (parallel/domain.py): a sharded scene must track
+    the single-device trajectory to f32 summation-order noise."""
+
+    def _compare(self, build, n_slabs, ticks, atol):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pies_tpu import Solver
+        from pies_tpu.parallel.domain import (
+            gather_positions,
+            make_domain_tick,
+            partition_domain,
+        )
+
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        build(s)
+        s._prepare()
+        state0 = jax.tree_util.tree_map(np.asarray, s._state)
+        topo0 = jax.tree_util.tree_map(np.asarray, s._topology)
+        params = s.current_params()
+        config = s._config
+        n_live = s._builder.num_nodes
+
+        for _ in range(ticks):
+            s.tick()
+        ref = s.get_vertices()["position"][:n_live]
+        assert not s.sim_failed
+
+        dom = partition_domain(state0, topo0, n_slabs=n_slabs)
+        mesh = ensemble.make_mesh(n_slabs, axis="x")
+        sh = NamedSharding(mesh, P("x"))
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+        dstate = jax.tree_util.tree_map(put, dom.state)
+        dstatic = jax.tree_util.tree_map(put, dom.static)
+        dtick = make_domain_tick(mesh, config, dom.meta)
+        for _ in range(ticks):
+            dstate, res = dtick(dstate, dstatic, params)
+        assert not bool(np.any(np.asarray(dstate.sim_failed)))
+        got = gather_positions(dom, dstate)[:n_live]
+        err = np.abs(got - ref).max()
+        assert err < atol, f"domain trajectory diverged: {err}"
+        return err
+
+    def test_rope_two_slabs_matches_single_device(self):
+        self._compare(
+            lambda s: s.create_rope((0, 8, 0), (6, 8, 0), 64, w=10000.0),
+            n_slabs=2, ticks=30, atol=1e-4,
+        )
+
+    def test_tet_boxes_floor_four_slabs(self):
+        def build(s):
+            for i in range(4):
+                s.create_tet_box(
+                    (3.0 * i, 2.0, 0.0), 1.0, (0, 0, 0), w=1500.0, mass=1.0
+                )
+
+        self._compare(build, n_slabs=4, ticks=40, atol=1e-4)
+
+    def test_shape_matching_eight_slabs(self):
+        def build(s):
+            for i in range(8):
+                s.create_shape_matching_box(
+                    (2.0 * i, 1.5, 0.0), 3, 3, 3, 0.5, (0, 0, 0), w=500.0
+                )
+
+        self._compare(build, n_slabs=8, ticks=25, atol=1e-4)
+
+    def test_halo_too_small_raises(self):
+        from pies_tpu import Solver
+        from pies_tpu.parallel.domain import partition_domain
+
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_rope((0, 8, 0), (6, 8, 0), 64, w=10000.0)
+        s._prepare()
+        state0 = jax.tree_util.tree_map(np.asarray, s._state)
+        topo0 = jax.tree_util.tree_map(np.asarray, s._topology)
+        with pytest.raises(ValueError):
+            partition_domain(state0, topo0, n_slabs=2, halo=0)
