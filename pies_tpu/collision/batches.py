@@ -54,6 +54,13 @@ class CollisionSet:
     # multiplicity preserved (Solver.cpp:829-834 emits duplicates per tri).
     static_idx: jax.Array  # i32[S]
     static_mask: jax.Array  # f32[S]
+    # Dense floor-contact activity (config.dense_floor): per-node indicator
+    # y < floor + thickness for nodes with live incident triangles.  Combined
+    # with Topology.floor_count it carries exactly the same information as
+    # the entry list above (every entry of a node shares its test and
+    # projection) with zero gathers/scatters.  Shape [N] in dense mode, [0]
+    # otherwise — consumers branch on the static shape.
+    floor_active: jax.Array  # f32[N] or f32[0]
     # Edge-edge collisions: generation is disabled in the reference
     # (commented out at Solver.cpp:799-823) so this stays empty in quirk mode;
     # the projection kernels exist for the non-quirk extension.
@@ -68,7 +75,11 @@ class CollisionSet:
 
 
 def empty_collision_set(
-    pt_cap: int = 0, static_cap: int = 0, edge_cap: int = 0, nn_cap: int = 0
+    pt_cap: int = 0,
+    static_cap: int = 0,
+    edge_cap: int = 0,
+    nn_cap: int = 0,
+    dense_floor_nodes: int = 0,
 ) -> CollisionSet:
     z = lambda *s: jnp.zeros(s, dtype=jnp.int32)
     m = lambda *s: jnp.zeros(s, dtype=jnp.float32)
@@ -77,6 +88,7 @@ def empty_collision_set(
         pt_mask=m(pt_cap),
         static_idx=z(static_cap),
         static_mask=m(static_cap),
+        floor_active=m(dense_floor_nodes),
         edge_idx=z(edge_cap, 4),
         edge_mask=m(edge_cap),
         nn_idx=z(nn_cap, 2),
@@ -106,6 +118,34 @@ def detect_floor_contacts(
         jnp.repeat(tri_mask, 3) > 0
     )
     return corner_idx, hit.astype(positions.dtype)
+
+
+def detect_floor_active(
+    positions: jax.Array,
+    floor_count: jax.Array,
+    floor_height: jax.Array,
+    thickness: jax.Array,
+) -> jax.Array:
+    """Dense floor-contact test: per node, 1.0 when it has live incident
+    triangles and ``y < floorHeight + thickness`` — the per-corner test of
+    ``Solver.cpp:829-834`` hoisted to the node (all corner entries of a node
+    share it).  Returns ``f32[N]``."""
+    hit = (positions[:, 1] < floor_height + thickness) & (floor_count > 0)
+    return hit.astype(positions.dtype)
+
+
+def project_static_dense(
+    positions: jax.Array,
+    floor_height: jax.Array,
+    reference_quirks: bool,
+) -> jax.Array:
+    """Dense static-collision projection: :func:`project_static` evaluated
+    at every node (no gather).  Returns ``f32[N, 3]``."""
+    plane = (
+        jnp.zeros_like(floor_height) if reference_quirks else floor_height
+    )
+    y = jnp.where(positions[:, 1] < plane, plane, positions[:, 1])
+    return positions.at[:, 1].set(y)
 
 
 def project_static(

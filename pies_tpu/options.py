@@ -144,6 +144,13 @@ class StepConfig:
     # commented out (Solver.cpp:799-823) — but fully functional as the
     # rebuilt capability (SURVEY §2.3).
     enable_edge_collisions: bool = False
+    # Dense floor contacts: the PD sweep's per-(triangle, corner) static
+    # entries (Solver.cpp:829-834) collapse to per-node multiplicity counts x
+    # a dense activity mask — mathematically identical (all entries of a node
+    # share their test and projection) and removes the T·3-row gather/scatter
+    # from the force, diagonal, stabilization and friction passes (measured
+    # dominant at stress scale).  False restores the entry-list path.
+    dense_floor: bool = True
     # Enable the PD node-node collision machinery: constraint generation
     # from the node grid (Solver.cpp:509-607), the w=1e5 diagonal-only
     # constraint (CollisionConstraint.cpp:7-65) and the node-node friction

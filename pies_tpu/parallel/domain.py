@@ -89,13 +89,11 @@ class DomainStatic:
     # global precompute already sums every constraint, including ones
     # assigned to neighbor slabs).
     stiffness_diag_own: jax.Array  # f32[D, L]
-    # Constraint batches with view-local indices (stiffness_diag zeroed).
+    # Constraint batches with view-local indices (stiffness_diag zeroed;
+    # floor_count carries per-owned-node corner multiplicities over the view,
+    # halo slots zero — floor contacts are owner-local by construction, see
+    # Solver.cpp:829-834 and the dense-floor note in collision/batches.py).
     topo: Topology  # leaves [D, ...]
-    # Floor-contact corner entries, partitioned by *corner owner* — one entry
-    # per (triangle, corner) exactly like Solver.cpp:829-834, so multiplicity
-    # and snapping stay bit-identical without halo traffic.
-    static_corner_idx: jax.Array  # i32[D, S] view-local (owned band)
-    static_corner_mask: jax.Array  # f32[D, S]
 
 
 @dataclass(frozen=True)
@@ -387,19 +385,11 @@ def partition_domain(
     shape_b, shape_map = split_groups(topo.shape)
     goal_b, goal_map = split_groups(topo.goal)
 
-    # Floor-contact corner entries by corner OWNER (exactly local).
+    # Floor-contact multiplicity per owned node (owner-local by nature).
     corners = tri_idx.reshape(-1)
     cm = np.repeat(np.asarray(topo.tri_mask), 3) > 0
-    c_slab = corners // block
-    c_rows = []
-    for s in range(n_slabs):
-        sel = cm & (c_slab == s)
-        c_rows.append((corners[sel] - s * block + halo).astype(_I32))
-    s_cap = _round_up(max((r.shape[0] for r in c_rows), default=0), 8)
-    sc_idx = _stack_rows(c_rows, s_cap)
-    sc_mask = _stack_rows(
-        [np.ones(r.shape[0], _F32) for r in c_rows], s_cap
-    )
+    floor_count = np.zeros(total, _F32)
+    np.add.at(floor_count, corners[cm], 1.0)
 
     # --- node-attribute views ---------------------------------------------
     def window(a: np.ndarray, pad_value=0.0) -> np.ndarray:
@@ -436,6 +426,7 @@ def partition_domain(
         tets=np.zeros((d_axis, 0, 4), _I32),
         tet_mask=np.zeros((d_axis, 0), _F32),
         stiffness_diag=np.zeros((d_axis, view), _F32),
+        floor_count=window(floor_count) * _own_window_mask(meta),
     )
 
     quats = np.asarray(state.shape_quats, _F32)
@@ -461,8 +452,6 @@ def partition_domain(
         mass_own_view=window(mass_own) * _own_window_mask(meta),
         stiffness_diag_own=stiff_own,
         topo=topo_local,
-        static_corner_idx=sc_idx,
-        static_corner_mask=sc_mask,
     )
     return Domain(
         meta=meta,
@@ -578,24 +567,22 @@ def _domain_substep(
     x_own = dstate_l.positions + h * dstate_l.velocities * mask_own
     prev_own = dstate_l.prev_positions
 
-    # Floor contacts from owned corner entries (exactly local).
+    # Dense floor contacts over the view (counts are owner-local: halo slots
+    # carry zero multiplicity by construction).
+    from ..collision.batches import detect_floor_active
+
     x_view = _halo_refresh(x_own, meta)
-    sidx = dstatic_l.static_corner_idx
-    y_c = x_view[sidx, 1]
-    static_mask = (
-        (y_c < params.floor_height + params.collision_thickness)
-        & (dstatic_l.static_corner_mask > 0)
-    ).astype(x_own.dtype)
-    colls = empty_collision_set(pt_cap=0, static_cap=sidx.shape[0])
-    colls = replace(colls, static_idx=sidx, static_mask=static_mask)
+    floor_count = topo.floor_count
+    floor_active = detect_floor_active(
+        x_view, floor_count, params.floor_height, params.collision_thickness
+    )
+    colls = empty_collision_set(pt_cap=0, static_cap=0)
+    colls = replace(colls, floor_active=floor_active)
 
     mass_h2_view = dstatic_l.mass_own_view / h2
     msn_h2_own = x_own * (mass_own / h2)[:, None]
 
-    # Static-contact diagonal lives on owned slots only (corner ownership).
-    static_diag_view = jax.ops.segment_sum(
-        W_STATIC * static_mask, sidx, num_segments=meta.view
-    ).astype(x_own.dtype)
+    static_diag_view = W_STATIC * floor_count * floor_active
     diag_own = (
         mass_own / h2
         + dstatic_l.stiffness_diag_own
@@ -647,7 +634,7 @@ def _domain_substep(
         x_new = jnp.where(mask_own > 0, x_new, x_own)
         return x_new, local.quats, residual, local.static
 
-    static_proj0 = jnp.zeros((sidx.shape[0], 3), x_own.dtype)
+    static_proj0 = jnp.zeros((meta.view, 3), x_own.dtype)
     x_own, quats, residual, static_proj = jax.lax.fori_loop(
         0,
         config.iterations,
@@ -660,18 +647,13 @@ def _domain_substep(
         ),
     )
 
-    # Stabilization: floor snap only (corner entries are owned).
-    def stabilize(_, x_own):
-        x_view = _halo_refresh(x_own, meta)
-        snap = static_mask[:, None] > 0
-        x_view = x_view.at[sidx].set(
-            jnp.where(snap, static_proj, x_view[sidx])
+    # Stabilization: dense floor snap on owned slots.
+    if config.collision_stabilization_iterations > 0:
+        x_own = jnp.where(
+            floor_active[b : b + l, None] > 0,
+            static_proj[b : b + l],
+            x_own,
         )
-        return x_view[b : b + l]
-
-    x_own = jax.lax.fori_loop(
-        0, config.collision_stabilization_iterations, stabilize, x_own
-    )
 
     vel = (
         (1.0 - params.damping) * (x_own - prev_own) / h
@@ -679,9 +661,7 @@ def _domain_substep(
     ) * mask_own
 
     # Floor friction (Solver.cpp:473-484) per owned node.
-    counts = jax.ops.segment_sum(static_mask, sidx, num_segments=meta.view)[
-        b : b + l
-    ]
+    counts = (floor_count * floor_active)[b : b + l]
     perp = vel.at[:, 1].set(0.0)
     static = (
         jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold

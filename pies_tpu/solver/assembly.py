@@ -39,6 +39,7 @@ from ..collision.batches import (
     project_node_node,
     project_point_tri,
     project_static,
+    project_static_dense,
 )
 from ..constraints import projections as proj
 from ..topology import Topology
@@ -92,6 +93,12 @@ def local_step(
         nn_proj = project_node_node(x, radius, inv_mass, colls.nn_idx)
     else:
         nn_proj = jnp.zeros((colls.nn_idx.shape[0], 2, 3), dtype=x.dtype)
+    if colls.floor_active.shape[0]:  # dense floor mode
+        static_p = project_static_dense(x, floor_height, reference_quirks)
+    else:
+        static_p = project_static(
+            x, colls.static_idx, floor_height, reference_quirks
+        )
     return LocalStep(
         distance=proj.project_distance(x, topo.distance),
         position=proj.project_position(topo.position),
@@ -105,7 +112,7 @@ def local_step(
         edge=edge_proj,
         edge_delta=edge_delta,
         node_node=nn_proj,
-        static=project_static(x, colls.static_idx, floor_height, reference_quirks),
+        static=static_p,
         quats=quats,
     )
 
@@ -214,20 +221,31 @@ def assemble_force(
         wn = W_NODE_NODE * colls.nn_mask
         f = f.at[colls.nn_idx].add(wn[:, None, None] * local.node_node)
 
-    # Static floor collisions (CollisionConstraint.cpp:457-463).
-    ws = W_STATIC * colls.static_mask
-    f = f.at[colls.static_idx].add(ws[:, None] * local.static)
+    # Static floor collisions (CollisionConstraint.cpp:457-463).  Dense mode:
+    # count · w · p per node (multiplicity folded into the multiplier).
+    if colls.floor_active.shape[0]:
+        wf = W_STATIC * topo.floor_count * colls.floor_active
+        f = f + wf[:, None] * local.static
+    else:
+        ws = W_STATIC * colls.static_mask
+        f = f.at[colls.static_idx].add(ws[:, None] * local.static)
     return f
 
 
 def static_collision_diag(
-    colls: CollisionSet, num_nodes: int, dtype
+    colls: CollisionSet,
+    num_nodes: int,
+    dtype,
+    floor_count: jax.Array | None = None,
 ) -> jax.Array:
     """Dense per-node diagonal of the floor-contact constraints, built once
     per substep.  Floor contacts are diagonal-only (A = B = I per node,
     CollisionConstraint.cpp:442-445), so folding them into a dense vector
-    removes an S-sized scatter from every CG apply (TPU scatters run ~9M
-    rows/s; the operator runs ~100x per substep)."""
+    removes an S-sized scatter from every CG apply.  In dense-floor mode the
+    diagonal is count · w · active with no scatter at all."""
+    if colls.floor_active.shape[0]:
+        assert floor_count is not None
+        return (W_STATIC * floor_count * colls.floor_active).astype(dtype)
     return jax.ops.segment_sum(
         W_STATIC * colls.static_mask, colls.static_idx, num_segments=num_nodes
     ).astype(dtype)
@@ -283,7 +301,9 @@ def apply_system(
 ) -> jax.Array:
     """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
     if static_diag is None:
-        static_diag = static_collision_diag(colls, x.shape[0], x.dtype)
+        static_diag = static_collision_diag(
+            colls, x.shape[0], x.dtype, topo.floor_count
+        )
         if colls.nn_idx.shape[0]:
             static_diag = static_diag + node_node_diag(colls, x.shape[0], x.dtype)
         if contact_coupling in ("diagonal", "recentered"):
@@ -347,7 +367,9 @@ def system_diag(
         diag = diag.at[colls.edge_idx].add(we[:, None] * ata_d[None, :])
     if colls.nn_idx.shape[0]:
         diag = diag + node_node_diag(colls, diag.shape[0], diag.dtype)
-    diag = diag + static_collision_diag(colls, diag.shape[0], diag.dtype)
+    diag = diag + static_collision_diag(
+        colls, diag.shape[0], diag.dtype, topo.floor_count
+    )
     return diag
 
 

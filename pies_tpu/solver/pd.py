@@ -60,7 +60,7 @@ def pd_substep(
     mass_over_h2 = state.mass / h2
     diag = assembly.system_diag(mass_over_h2, topo, colls)
     static_diag = assembly.static_collision_diag(
-        colls, state.capacity, x.dtype
+        colls, state.capacity, x.dtype, topo.floor_count
     )
     if colls.nn_idx.shape[0]:
         # Node-node contacts are diagonal-only in the reference's collision
@@ -126,9 +126,12 @@ def pd_substep(
         x_new = jnp.where(mask > 0, x_new, x)
         return x_new, local.quats, residual, local.static
 
-    static_proj0 = jnp.zeros(
-        (colls.static_idx.shape[0], 3), dtype=x.dtype
+    static_rows = (
+        state.capacity
+        if colls.floor_active.shape[0]
+        else colls.static_idx.shape[0]
     )
+    static_proj0 = jnp.zeros((static_rows, 3), dtype=x.dtype)
     x, quats, residual, static_proj = jax.lax.fori_loop(
         0,
         config.iterations,
@@ -160,10 +163,13 @@ def pd_substep(
                 config.reference_quirks,
             )
         # Hard snap for floor contacts (Solver.cpp:379-382).
-        snap = colls.static_mask[:, None] > 0
-        x = x.at[colls.static_idx].set(
-            jnp.where(snap, static_proj, x[colls.static_idx])
-        )
+        if colls.floor_active.shape[0]:
+            x = jnp.where(colls.floor_active[:, None] > 0, static_proj, x)
+        else:
+            snap = colls.static_mask[:, None] > 0
+            x = x.at[colls.static_idx].set(
+                jnp.where(snap, static_proj, x[colls.static_idx])
+            )
         return x, prev
 
     x, prev = jax.lax.fori_loop(
@@ -181,7 +187,9 @@ def pd_substep(
             x, vel, state.inv_mass, state.radius, colls, params
         )
     vel = _point_tri_friction(x, vel, state.inv_mass, colls, params)
-    vel = _static_floor_friction(vel, colls, params, state.capacity)
+    vel = _static_floor_friction(
+        vel, colls, params, state.capacity, topo.floor_count
+    )
 
     new_state = replace(
         state,
@@ -306,6 +314,7 @@ def _static_floor_friction(
     colls: CollisionSet,
     params: PhysicsParams,
     num_nodes: int,
+    floor_count: jax.Array | None = None,
 ) -> jax.Array:
     """Floor friction pass (``Solver.cpp:473-484``).
 
@@ -315,9 +324,12 @@ def _static_floor_friction(
     pre-pass velocity (divergence from mid-sequence threshold crossings is
     documented in FIDELITY.md).
     """
-    counts = jax.ops.segment_sum(
-        colls.static_mask, colls.static_idx, num_segments=num_nodes
-    )
+    if colls.floor_active.shape[0]:
+        counts = floor_count * colls.floor_active
+    else:
+        counts = jax.ops.segment_sum(
+            colls.static_mask, colls.static_idx, num_segments=num_nodes
+        )
     perp = vel.at[:, 1].set(0.0)
     static = jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold
     factor = jnp.where(

@@ -31,15 +31,27 @@ def default_detect_collisions(state, x, topo, params, config: StepConfig):
     ``config.enable_collisions`` and the scene has triangles; see
     ``collision/broadphase.py``.
     """
-    static_idx, static_mask = detect_floor_contacts(
-        x,
-        topo.triangles,
-        topo.tri_mask,
-        params.floor_height,
-        params.collision_thickness,
-    )
-    colls = empty_collision_set(pt_cap=0, static_cap=static_idx.shape[0])
-    colls = replace(colls, static_idx=static_idx, static_mask=static_mask)
+    if config.dense_floor:
+        from ..collision.batches import detect_floor_active
+
+        floor_active = detect_floor_active(
+            x,
+            topo.floor_count,
+            params.floor_height,
+            params.collision_thickness,
+        )
+        colls = empty_collision_set(pt_cap=0, static_cap=0)
+        colls = replace(colls, floor_active=floor_active)
+    else:
+        static_idx, static_mask = detect_floor_contacts(
+            x,
+            topo.triangles,
+            topo.tri_mask,
+            params.floor_height,
+            params.collision_thickness,
+        )
+        colls = empty_collision_set(pt_cap=0, static_cap=static_idx.shape[0])
+        colls = replace(colls, static_idx=static_idx, static_mask=static_mask)
     if config.enable_collisions and topo.triangles.shape[0] > 0:
         from ..collision.broadphase import detect_point_tri_collisions
 

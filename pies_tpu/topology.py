@@ -151,6 +151,14 @@ class Topology:
     # constraints, scattered per node (Solver.cpp:179-210 minus the mass term,
     # which depends on the dynamic dt).
     stiffness_diag: jax.Array  # f32[N]
+    # Per-node floor-contact multiplicity: how many (live triangle, corner)
+    # entries reference each node.  The PD sweep emits one
+    # StaticCollisionConstraint per such entry (Solver.cpp:829-834); since
+    # all entries of a node share its y test and projection, their combined
+    # effect is exactly count · (per-entry term) — a dense elementwise
+    # multiply instead of a T·3-row scatter in every force/diag/stabilize
+    # pass (the measured hot spot at stress scale).
+    floor_count: jax.Array  # f32[N]
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +437,10 @@ def assemble_topology(
         # (ShapeMatchingConstraint.cpp:50-56,139-145)
         np.add.at(diag, np.asarray(grp.node_idx), gw)
 
+    floor_count = np.zeros(num_nodes, dtype=_F32)
+    if nt:
+        np.add.at(floor_count, tris.reshape(-1), 1.0)
+
     return Topology(
         triangles=np.asarray(_pad2(tris, tcap)),
         tri_mask=np.asarray(_pad2(np.ones(tris.shape[0], _F32), tcap)),
@@ -437,5 +449,6 @@ def assemble_topology(
         tets=np.asarray(_pad2(tetarr, kcap)),
         tet_mask=np.asarray(_pad2(np.ones(tetarr.shape[0], _F32), kcap)),
         stiffness_diag=np.asarray(diag.astype(_F32)),
+        floor_count=np.asarray(floor_count),
         **fields,
     )

@@ -532,3 +532,26 @@ class TestPDNodeNodeCollisions:
             return abs(v[1, 1] - v[0, 1])
 
         assert run(0.5) < run(0.0) - 0.1
+
+
+class TestDenseFloorContacts:
+    def test_dense_matches_entry_list(self):
+        # The dense per-node floor representation (count x activity) must
+        # reproduce the per-(triangle, corner) entry list exactly — all
+        # entries of a node share their test and projection.
+        import dataclasses
+
+        def run(dense):
+            s = Solver(
+                SolverOptions(solver=SolverName.PD), enable_collisions=False
+            )
+            s.create_tet_box((0, 2.0, 0), 1.0, (0, 0, 0), w=1500.0, mass=1.0)
+            s._prepare()
+            s._config = dataclasses.replace(s._config, dense_floor=dense)
+            for _ in range(40):
+                s.tick()
+            assert not s.sim_failed
+            return s.get_vertices()["position"][: s._builder.num_nodes]
+
+        d = np.abs(run(True) - run(False)).max()
+        assert d < 1e-6
