@@ -107,12 +107,13 @@ def _detect_point_tri_bodies_packed(
     hi_b = jnp.maximum(xb.max(axis=1), pb.max(axis=1)) / cell
     lo_b = jnp.where(live_b[:, None], lo_b, 0.0)
     hi_b = jnp.where(live_b[:, None], hi_b, 0.0)
+    margin = params.collision_threshold_distance / cell
 
-    too_big = jnp.any((hi_b - lo_b) > 2.0, axis=-1) & live_b
+    too_big = jnp.any((hi_b - lo_b) > 2.0 - margin, axis=-1) & live_b
     size_over = jnp.any(too_big)
 
-    home = jnp.floor(lo_b).astype(jnp.int32)[:, None, :]
-    hgrid = build_grid(home, live_b[:, None], table_size_for(k))
+    ins_coords, ins_valid = _insertion_slots(lo_b, hi_b, live_b)
+    hgrid = build_grid(ins_coords, ins_valid, table_size_for(k))
     q_coords, q_valid, _ = aabb_cell_slots(
         lo_b - 1.0, hi_b, budget.max_cells_per_tri, range_cap=8
     )
@@ -125,7 +126,6 @@ def _detect_point_tri_bodies_packed(
     )
     cand_b = jnp.minimum(cand_b, k - 1)
 
-    margin = params.collision_threshold_distance / cell
     packed_b, packed_valid = _aabb_prefilter_pack(
         cand_b, cand_b_valid, lo_b, hi_b, margin, budget.max_narrow_bodies
     )  # [K, NB]
@@ -232,12 +232,13 @@ def _detect_point_tri_bodies(
     live_b = jnp.any(live_t.reshape(k, e), axis=1)
     lo_b = jnp.where(live_b[:, None], lo_b, 0.0)
     hi_b = jnp.where(live_b[:, None], hi_b, 0.0)
+    margin_b = params.collision_threshold_distance / cell
 
-    too_big = jnp.any((hi_b - lo_b) > 2.0, axis=-1) & live_b
+    too_big = jnp.any((hi_b - lo_b) > 2.0 - margin_b, axis=-1) & live_b
     size_over = jnp.any(too_big)
 
-    home = jnp.floor(lo_b).astype(jnp.int32)[:, None, :]
-    hgrid = build_grid(home, live_b[:, None], table_size_for(k))
+    ins_coords, ins_valid = _insertion_slots(lo_b, hi_b, live_b)
+    hgrid = build_grid(ins_coords, ins_valid, table_size_for(k))
     q_coords, q_valid, _ = aabb_cell_slots(
         lo_b - 1.0, hi_b, budget.max_cells_per_tri, range_cap=8
     )
@@ -285,6 +286,37 @@ def _tri_swept_aabb(x, prev, triangles, scale):
     return lo, hi
 
 
+_CORNER_OFFS = np.array(
+    [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+    dtype=np.int32,
+)  # [8,3]
+
+
+def _insertion_slots(lo: jax.Array, hi: jax.Array, live: jax.Array):
+    """Cell-list insertion slots: the home cell ``floor(lo)`` plus, on every
+    axis where the item spans more than one cell, the next cell over.
+
+    With queries covering ``[lo − 1, hi]``, single-corner insertion only
+    guarantees discovery of items within one cell; for a pair where BOTH
+    members span (1, 2] cells (on different axes) discovery could silently
+    fail in both directions.  Two insertion corners per oversize axis close
+    that hole: for any overlapping pair of ≤2-cell items, per axis the two
+    insertion cells ``i, i+1`` straddle the query window bounds, and two
+    integers one apart cannot both fall outside a non-empty integer range.
+    Items beyond 2 cells still latch (see the too_big checks).
+
+    Returns ``(coords i32[M, 8, 3], valid bool[M, 8])`` — duplicate corners
+    on non-oversize axes are masked out, so each covered cell is inserted
+    exactly once (candidate multiplicity stays 1).
+    """
+    home = jnp.floor(lo).astype(jnp.int32)  # [M,3]
+    oversize = (hi - lo) > 1.0  # [M,3]
+    offs = jnp.asarray(_CORNER_OFFS)
+    coords = home[:, None, :] + offs[None]
+    allowed = jnp.all((offs[None] == 0) | oversize[:, None, :], axis=-1)
+    return coords, allowed & live[:, None]
+
+
 def _celllist_candidates(
     x: jax.Array,
     prev: jax.Array,
@@ -295,12 +327,16 @@ def _celllist_candidates(
 ):
     """Candidate stage of the sorted cell-list broadphase.
 
-    Each triangle is inserted into the single cell of its swept-AABB min
-    corner; a query enumerates the AABB's cell range expanded by one cell on
-    the min side, which covers every triangle whose AABB overlaps the query
-    AABB provided no triangle exceeds one cell in extent — violators latch
-    the overflow flag (the analog of the reference's range-cap skip, but
-    loud instead of silent).
+    Each triangle is inserted into its swept-AABB min-corner cell — plus the
+    next cell over on any axis it spans more than one cell (see
+    ``_insertion_slots``); a query enumerates the AABB's cell range expanded
+    by one cell on the min side.  Discovery is symmetric for every pair of
+    items up to two cells in extent; larger items latch the overflow flag
+    (the analog of the reference's range-cap skip, but loud instead of
+    silent).  Transiently-oversize items can appear more than once in a
+    query's candidate row (once per shared insertion cell) — the same
+    multiplicity the reference's per-shared-cell sweep produces
+    (Solver.cpp:747-797).
 
     The cell size is a *traced* scalar: ``collision_cell_scale`` x the
     largest initial triangle extent, supplied via ``PhysicsParams.
@@ -314,19 +350,17 @@ def _celllist_candidates(
 
     lo, hi = _tri_swept_aabb(x, prev, triangles, cell)
     live = tri_mask > 0
+    margin = params.collision_threshold_distance / cell
 
-    # Items larger than one cell weaken the home-cell coverage guarantee:
-    # for extents in (1, 2] cells the pair is still found from the large
-    # item's own query (its range covers its full AABB), only the reverse
-    # direction can miss — a transient partial loss akin to the reference's
-    # silent range-cap skip (Solver.cpp:672-674).  Extents beyond 2 cells
-    # latch hard.
-    too_big = jnp.any((hi - lo) > 2.0, axis=-1) & live
+    # Two insertion corners per oversize axis (see _insertion_slots) make
+    # discovery symmetric for items up to 2 cells; beyond that (minus the
+    # CCD margin the query expansion must also absorb) latch hard — the loud
+    # analog of the reference's silent range-cap skip (Solver.cpp:672-674).
+    too_big = jnp.any((hi - lo) > 2.0 - margin, axis=-1) & live
     size_over = jnp.any(too_big)
 
-    home = jnp.floor(lo).astype(jnp.int32)[:, None, :]  # [T,1,3]
-    home_valid = live[:, None]
-    hgrid = build_grid(home, home_valid, table_size_for(t))
+    ins_coords, ins_valid = _insertion_slots(lo, hi, live)
+    hgrid = build_grid(ins_coords, ins_valid, table_size_for(t))
 
     # Query range: AABB cells plus one on the min side.
     q_coords, q_valid, q_over = aabb_cell_slots(
@@ -341,10 +375,8 @@ def _celllist_candidates(
         per_cell_cap=budget.max_entries_per_cell,
         budget=budget.max_candidates_per_tri,
     )
-    # Home-cell insertion is unique per triangle — no dedup needed.
+    # Insertion is unique per (cell, triangle) — no dedup needed.
     cand = jnp.minimum(cand, t - 1)
-
-    margin = params.collision_threshold_distance / cell
     # Contact-buffer and query-cell overflow drop the excess gracefully
     # (re-detected next substep; far query cells are the least likely to
     # hold contacts); only oversized items and reference-scale bucket

@@ -121,6 +121,53 @@ def solver_stats(solver) -> dict:
     }
 
 
+def broadphase_health(solver) -> dict:
+    """Coverage diagnostics for the cell-list broadphase at the current
+    state: how many items (triangles, or bodies on the packed path) span
+    more than one grid cell (still found symmetrically, via two-corner
+    insertion) and how many exceed two cells (these latch ``sim_failed``).
+    The reference silently skips such items (``Solver.cpp:672-674``); here
+    the counts are observable on demand.
+    """
+    solver._prepare()
+    from .collision.broadphase import _tri_swept_aabb
+
+    state = solver.state
+    topo = solver.topology
+    params = solver.current_params()
+    cfg = solver._config
+    cell = params.broadphase_cell
+
+    @jax.jit
+    def counts(x, prev, tris, tri_mask):
+        lo, hi = _tri_swept_aabb(x, prev, tris, cell)
+        live = tri_mask > 0
+        if cfg.budget.body_stride > 1:
+            e = cfg.budget.body_stride
+            k = tris.shape[0] // e
+            big = jnp.asarray(3.0e38, x.dtype)
+            lo = jnp.min(
+                jnp.where(live[:, None], lo, big).reshape(k, e, 3), axis=1
+            )
+            hi = jnp.max(
+                jnp.where(live[:, None], hi, -big).reshape(k, e, 3), axis=1
+            )
+            live = jnp.any(live.reshape(k, e), axis=1)
+        ext = jnp.max(hi - lo, axis=-1)
+        margin = params.collision_threshold_distance / cell
+        oversize = jnp.sum(((ext > 1.0) & live).astype(jnp.int32))
+        latching = jnp.sum(((ext > 2.0 - margin) & live).astype(jnp.int32))
+        return oversize, latching
+
+    oversize, latching = counts(
+        state.positions, state.prev_positions, topo.triangles, topo.tri_mask
+    )
+    return {
+        "broadphase_oversize_items": int(oversize),
+        "broadphase_latching_items": int(latching),
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a device profile: ``with diagnostics.trace("/tmp/prof"): ...``"""

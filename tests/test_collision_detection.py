@@ -145,3 +145,51 @@ class TestPointTriangleCCD:
         # f32 closed-form vs f64 companion matrix: borderline cases may
         # differ; require near-total agreement.
         assert agree >= total * 0.97, f"only {agree}/{total} agree"
+
+
+class TestCelllistOversizeCoverage:
+    def test_mutually_oversize_pair_discovered(self):
+        # Both items span (1, 2] cells on DIFFERENT axes, positioned so that
+        # under single-corner insertion each one's home cell falls outside
+        # the other's query window — the documented both-large miss case.
+        # Two-corner insertion must discover the pair from both sides.
+        import jax.numpy as jnp
+        import pies_tpu as pt
+        from pies_tpu.collision.broadphase import _celllist_candidates
+        from pies_tpu.options import SolverName, SolverOptions, StepConfig, make_params
+
+        pos = np.array(
+            [
+                # triangle A: x in [2.0,2.5], y in [0.2,2.05]  (tall in y)
+                [2.0, 0.2, 0.0], [2.5, 1.0, 0.4], [2.2, 2.05, 0.2],
+                # triangle B: x in [0.4,2.2], y in [2.02,2.5]  (long in x)
+                [0.4, 2.02, 0.0], [2.2, 2.3, 0.4], [1.0, 2.5, 0.2],
+            ],
+            np.float32,
+        )
+        tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        state = pt.make_state(pos, capacity=8)
+        full = jnp.asarray(
+            np.concatenate([pos, np.asarray(state.positions)[6:]], 0)
+        )
+        params = make_params(SolverOptions(), broadphase_cell=1.0)
+        cfg = StepConfig(solver=SolverName.PD)
+        cand, cand_valid, lo, hi, margin, overflow = _celllist_candidates(
+            full, full, jnp.asarray(tris),
+            jnp.asarray(np.ones(2, np.float32)), params, cfg,
+        )
+        assert not bool(overflow)  # both items are within the 2-cell latch
+        cand, cand_valid = np.asarray(cand), np.asarray(cand_valid)
+        assert 1 in set(cand[0][cand_valid[0]])  # A discovers B
+        assert 0 in set(cand[1][cand_valid[1]])  # B discovers A
+
+    def test_oversize_counter_reports(self):
+        from pies_tpu import Solver
+        from pies_tpu import diagnostics
+        from pies_tpu.options import SolverName, SolverOptions
+
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+        s.create_tet_soup(4, 1.6, 0.8, w=2000.0, height=2.0)
+        health = diagnostics.broadphase_health(s)
+        assert health["broadphase_latching_items"] == 0
+        assert health["broadphase_oversize_items"] >= 0
