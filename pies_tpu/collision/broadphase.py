@@ -147,10 +147,13 @@ def _detect_point_tri_bodies_packed(
         return other[:, 3 * m + 3 * c : 3 * m + 3 * c + 3]
 
     cap = budget.max_point_tri_contacts
-    hit_ids = jnp.full(cap + 1, -1, dtype=jnp.int32)
-    count = jnp.int32(0)
     n_combo = m * e
-    pair_idx = jnp.arange(k * nb, dtype=jnp.int32)
+    assert n_combo <= 32, "packed-body path requires m*e <= 32 combo bits"
+    # Two-level compaction: per-combo cumsum+scatter over the full K·NB pair
+    # axis x16 was the measured detection hot spot (~100 ms at 500k).  Pack
+    # the 16 hit flags into one bitmask per PAIR (pure VPU), compact live
+    # pairs once, then expand combos on the tiny packed buffer.
+    bits = jnp.zeros(k * nb, jnp.uint32)
     for c in range(m):
         ap0 = jnp.repeat(pb[:, c], nb, axis=0)  # [K*NB, 3]
         ap1 = jnp.repeat(xb[:, c], nb, axis=0)
@@ -165,13 +168,32 @@ def _detect_point_tri_bodies_packed(
                 ncol(i2) - b1,
                 params.collision_threshold_distance,
             )
-            hit = hit & ok_flat
-            pos = count + jnp.cumsum(hit.astype(jnp.int32)) - 1
-            dest = jnp.where(hit & (pos < cap), pos, cap)
-            ids = pair_idx * n_combo + (c * e + f)
-            hit_ids = hit_ids.at[dest].set(ids)
-            count = count + hit.sum(dtype=jnp.int32)
-    hit_ids = hit_ids[:cap]
+            bits = bits | (
+                (hit & ok_flat).astype(jnp.uint32) << jnp.uint32(c * e + f)
+            )
+    anyhit = bits > 0
+    # A contact-capped buffer always holds every live pair (pairs <= contacts).
+    pos = jnp.cumsum(anyhit.astype(jnp.int32)) - 1
+    dest = jnp.where(anyhit & (pos < cap), pos, cap)
+    pair_buf = (
+        jnp.full(cap + 1, -1, jnp.int32)
+        .at[dest]
+        .set(jnp.arange(k * nb, dtype=jnp.int32))[:cap]
+    )
+    pbits = jnp.where(pair_buf >= 0, bits[jnp.maximum(pair_buf, 0)], 0)
+    combo_hit = (
+        pbits[:, None] >> jnp.arange(n_combo, dtype=jnp.uint32)[None, :]
+    ) & 1  # [cap, n_combo]
+    flat = combo_hit.reshape(-1) > 0
+    pos2 = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    dest2 = jnp.where(flat & (pos2 < cap), pos2, cap)
+    all_ids = (
+        jnp.repeat(jnp.maximum(pair_buf, 0), n_combo) * n_combo
+        + jnp.tile(jnp.arange(n_combo, dtype=jnp.int32), cap)
+    )
+    hit_ids = (
+        jnp.full(cap + 1, -1, jnp.int32).at[dest2].set(all_ids)[:cap]
+    )
 
     # Decode (pair, corner, face) -> node tuple.
     found = hit_ids >= 0

@@ -426,6 +426,7 @@ def partition_domain(
         tets=np.zeros((d_axis, 0, 4), _I32),
         tet_mask=np.zeros((d_axis, 0), _F32),
         stiffness_diag=np.zeros((d_axis, view), _F32),
+        tet_band=np.zeros((d_axis, 7, 1), _F32),
         floor_count=window(floor_count) * _own_window_mask(meta),
     )
 

@@ -322,14 +322,27 @@ def apply_system(
     p = topo.position
     y = y.at[p.idx].add(p.w[:, None] * x[p.idx])
 
-    for batch, contig in (
-        (topo.strain, strain_contiguous),
-        (topo.volume, volume_contiguous),
-    ):
-        xg = proj.gather_tet_nodes(x, batch, contig)  # [C,4,3]
-        e = _einsum("cja,cad->cjd", batch.g, xg)  # G x
-        contrib = _einsum("cja,cjd->cad", batch.g, e)  # Gᵀ (G x)
-        y = _tet_scatter_add(y, batch, batch.w[:, None, None] * contrib, contig)
+    if topo.tet_band.shape[1] == x.shape[0]:
+        # Element-major strain+volume blocks as one banded operator: seven
+        # shifted fused multiply-adds on [N, 3], no tet-shaped intermediates
+        # (see Topology.tet_band).
+        band = topo.tet_band
+        acc = band[3][:, None] * x
+        for dd in (1, 2, 3):
+            acc = acc + band[3 + dd][:, None] * jnp.roll(x, -dd, axis=0)
+            acc = acc + band[3 - dd][:, None] * jnp.roll(x, dd, axis=0)
+        y = y + acc
+    else:
+        for batch, contig in (
+            (topo.strain, strain_contiguous),
+            (topo.volume, volume_contiguous),
+        ):
+            xg = proj.gather_tet_nodes(x, batch, contig)  # [C,4,3]
+            e = _einsum("cja,cad->cjd", batch.g, xg)  # G x
+            contrib = _einsum("cja,cjd->cad", batch.g, e)  # Gᵀ (G x)
+            y = _tet_scatter_add(
+                y, batch, batch.w[:, None, None] * contrib, contig
+            )
 
     b = topo.bend
     y = y.at[b.idx].add(b.w[:, None, None] * x[b.idx])

@@ -332,3 +332,37 @@ class TestRenderOutput:
         s.create_rope((0, 0, 0), (1, 0, 0), 4, 100.0)
         settle(s, 2)
         assert s.get_vertices()["position"].shape == (4, 3)
+
+
+class TestBandedTetOperator:
+    def test_banded_matches_einsum_apply(self):
+        # The 7-diagonal banded form of the element-major strain+volume
+        # blocks must reproduce the gather/einsum operator exactly.
+        import dataclasses
+
+        from pies_tpu import Solver
+        from pies_tpu.collision.batches import empty_collision_set
+        from pies_tpu.options import SolverName, SolverOptions
+        from pies_tpu.solver import assembly
+
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s.create_tet_soup(12, 1.6, 0.8, w=2000.0, height=2.0, jitter=0.1)
+        s._prepare()
+        topo = s._topology
+        assert topo.tet_band.shape[1] == s._state.capacity  # band built
+
+        rng = np.random.default_rng(3)
+        v = jnp.asarray(
+            rng.normal(size=(s._state.capacity, 3)).astype(np.float32)
+        )
+        colls = empty_collision_set()
+        m_h2 = jnp.ones(s._state.capacity, jnp.float32)
+
+        y_band = assembly.apply_system(v, m_h2, topo, colls)
+        topo_nb = dataclasses.replace(
+            topo, tet_band=jnp.zeros((7, 1), jnp.float32)
+        )
+        y_ein = assembly.apply_system(v, m_h2, topo_nb, colls)
+        np.testing.assert_allclose(
+            np.asarray(y_band), np.asarray(y_ein), rtol=2e-5, atol=2e-4
+        )
