@@ -31,19 +31,29 @@ def tetrahedralize(
     vertices: np.ndarray,
     tri_indices: np.ndarray,
     resolution: int = 8,
+    snap_surface: bool = True,
 ):
     """Tet-mesh the volume enclosed by a closed triangle mesh.
 
     ``resolution`` is the number of lattice cells across the bounding box's
-    longest axis.
+    longest axis.  ``snap_surface`` projects boundary lattice vertices onto
+    the input surface afterward (inversion-guarded), so the output boundary
+    conforms to the input geometry at far better than voxel accuracy —
+    approaching the conformity of the reference's tetgen import
+    (``PrimitiveUtilities.cpp:183-241``) without a constrained Delaunay
+    dependency.
     """
     vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
     tris = np.asarray(tri_indices, np.int32).reshape(-1, 3)
 
     native = native_load.try_load()
     if native is not None:
-        return native.tetrahedralize(vertices, tris, resolution)
-    return _tetrahedralize_numpy(vertices, tris, resolution)
+        points, tets, surface = native.tetrahedralize(vertices, tris, resolution)
+    else:
+        points, tets, surface = _tetrahedralize_numpy(vertices, tris, resolution)
+    if snap_surface:
+        points = snap_boundary_to_surface(points, tets, surface, vertices, tris)
+    return points, tets, surface
 
 
 def _tetrahedralize_numpy(vertices, tris, resolution):
@@ -144,6 +154,134 @@ def _boundary_faces(tets: np.ndarray, points: np.ndarray) -> np.ndarray:
     # implementations produce byte-identical surface arrays.
     faces = faces[np.lexsort((faces[:, 2], faces[:, 1], faces[:, 0]))]
     return faces.astype(np.int32)
+
+
+def closest_point_on_mesh(
+    points: np.ndarray, vertices: np.ndarray, tris: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closest point on any input triangle per query point (Ericson,
+    Real-Time Collision Detection §5.1.5, vectorized over [P, T]).
+
+    Returns ``(closest f32[P,3], distance f32[P])``.
+    """
+    p = points[:, None, :].astype(np.float64)  # [P,1,3]
+    a = vertices[tris[:, 0]][None].astype(np.float64)  # [1,T,3]
+    b = vertices[tris[:, 1]][None].astype(np.float64)
+    c = vertices[tris[:, 2]][None].astype(np.float64)
+
+    ab, ac, ap = b - a, c - a, p - a
+    d1 = np.sum(ab * ap, axis=-1)
+    d2 = np.sum(ac * ap, axis=-1)
+    bp = p - b
+    d3 = np.sum(ab * bp, axis=-1)
+    d4 = np.sum(ac * bp, axis=-1)
+    cp = p - c
+    d5 = np.sum(ab * cp, axis=-1)
+    d6 = np.sum(ac * cp, axis=-1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = np.where(np.abs(va + vb + vc) > 1e-30, va + vb + vc, 1.0)
+    v = vb / denom
+    w = vc / denom
+    q = a + v[..., None] * ab + w[..., None] * ac  # face interior
+
+    # Edge/vertex regions override the face point.
+    tab = np.clip(d1 / np.where(d1 - d3 != 0, d1 - d3, 1.0), 0, 1)
+    q_ab = a + tab[..., None] * ab
+    tac = np.clip(d2 / np.where(d2 - d6 != 0, d2 - d6, 1.0), 0, 1)
+    q_ac = a + tac[..., None] * ac
+    tbc = np.clip(
+        (d4 - d3) / np.where((d4 - d3) + (d5 - d6) != 0, (d4 - d3) + (d5 - d6), 1.0),
+        0, 1,
+    )
+    q_bc = b + tbc[..., None] * (c - b)
+
+    q = np.where((vc <= 0)[..., None], q_ab, q)
+    q = np.where((vb <= 0)[..., None], q_ac, q)
+    q = np.where((va <= 0)[..., None], q_bc, q)
+    q = np.where(((d1 <= 0) & (d2 <= 0))[..., None], a, q)
+    q = np.where(((d3 >= 0) & (d4 <= d3))[..., None], b, q)
+    q = np.where(((d6 >= 0) & (d5 <= d6))[..., None], c, q)
+
+    dist = np.linalg.norm(q - p, axis=-1)  # [P,T]
+    best = np.argmin(dist, axis=1)
+    rows = np.arange(points.shape[0])
+    return q[rows, best].astype(np.float32), dist[rows, best].astype(np.float32)
+
+
+def _tet_volumes(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    p = points[tets].astype(np.float64)
+    return (
+        np.einsum(
+            "ki,ki->k",
+            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+            p[:, 3] - p[:, 0],
+        )
+        / 6.0
+    )
+
+
+def snap_boundary_to_surface(
+    points: np.ndarray,
+    tets: np.ndarray,
+    surface: np.ndarray,
+    vertices: np.ndarray,
+    tris: np.ndarray,
+    min_volume_ratio: float = 0.1,
+    rounds: int = 6,
+) -> np.ndarray:
+    """Project boundary lattice vertices onto the input surface, backing off
+    any displacement that would collapse or invert an incident tet.
+
+    Each round halves the displacement of vertices belonging to tets whose
+    signed volume fell below ``min_volume_ratio`` x original; lattice tets
+    start uniform and well-conditioned, so a few rounds always converge.
+    """
+    boundary = np.unique(surface.reshape(-1))
+    target, _ = closest_point_on_mesh(points[boundary], vertices, tris)
+    disp = np.zeros_like(points)
+    disp[boundary] = target - points[boundary]
+
+    # Orientation-normalized volumes: the lattice decomposition emits both
+    # windings, so "shrunk or inverted" is judged against each tet's own
+    # original signed volume.
+    vol0 = _tet_volumes(points, tets)
+    sign = np.where(vol0 < 0, -1.0, 1.0)
+
+    def bad_tets(p):
+        return _tet_volumes(p, tets) * sign < min_volume_ratio * np.abs(vol0)
+
+    scale = np.ones(points.shape[0], np.float32)
+    for _ in range(rounds):
+        snapped = points + scale[:, None] * disp
+        bad = bad_tets(snapped)
+        if not np.any(bad):
+            return snapped.astype(np.float32)
+        scale[np.unique(tets[bad].reshape(-1))] *= 0.5
+    snapped = points + scale[:, None] * disp
+    bad = bad_tets(snapped)
+    if np.any(bad):  # final fallback: fully revert vertices of bad tets
+        scale[np.unique(tets[bad].reshape(-1))] = 0.0
+        snapped = points + scale[:, None] * disp
+    return snapped.astype(np.float32)
+
+
+def surface_error(
+    points: np.ndarray,
+    surface: np.ndarray,
+    vertices: np.ndarray,
+    tris: np.ndarray,
+) -> dict:
+    """Conformity metrics: distances from the tet mesh's boundary vertices
+    to the input surface (one-sided Hausdorff + mean)."""
+    boundary = np.unique(surface.reshape(-1))
+    _, dist = closest_point_on_mesh(points[boundary], vertices, tris)
+    return {
+        "hausdorff": float(dist.max()) if dist.size else 0.0,
+        "mean": float(dist.mean()) if dist.size else 0.0,
+    }
 
 
 def points_in_mesh(

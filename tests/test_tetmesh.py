@@ -96,3 +96,58 @@ class TestTetrahedralize:
         assert np.all(np.isfinite(p))
         assert p[:, 1].mean() < 3.0  # fell under gravity
         assert p[:, 1].min() > -1.5  # caught by floor contacts
+
+
+class TestSurfaceSnap:
+    def _sphere(self, n=12):
+        # icosphere-ish: lat-long sphere
+        import math
+        verts, faces = [], []
+        for i in range(n + 1):
+            th = math.pi * i / n
+            for j in range(2 * n):
+                ph = math.pi * j / n
+                verts.append([
+                    math.sin(th) * math.cos(ph),
+                    math.cos(th),
+                    math.sin(th) * math.sin(ph),
+                ])
+        for i in range(n):
+            for j in range(2 * n):
+                a = i * 2 * n + j
+                b = i * 2 * n + (j + 1) % (2 * n)
+                c = (i + 1) * 2 * n + j
+                d = (i + 1) * 2 * n + (j + 1) % (2 * n)
+                faces += [[a, b, c], [b, d, c]]
+        return (
+            np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32),
+        )
+
+    def test_snap_improves_conformity_without_inversions(self):
+        v, f = self._sphere()
+        p_raw, tets, surf = tetmesh.tetrahedralize(v, f, 8, snap_surface=False)
+        p_snap, tets2, surf2 = tetmesh.tetrahedralize(v, f, 8, snap_surface=True)
+        np.testing.assert_array_equal(tets, tets2)
+
+        err_raw = tetmesh.surface_error(p_raw, surf, v, f)
+        err_snap = tetmesh.surface_error(p_snap, surf, v, f)
+        # Conformity improves substantially (inversion guard backs off
+        # roughly half the displacement on the worst slivers).
+        assert err_snap["hausdorff"] < 0.55 * err_raw["hausdorff"]
+        assert err_snap["mean"] < 0.45 * err_raw["mean"]
+
+        # No tet collapses or inverts (orientation-normalized).
+        vol = tetmesh._tet_volumes(p_snap, tets)
+        vol0 = tetmesh._tet_volumes(p_raw, tets)
+        sign = np.where(vol0 < 0, -1.0, 1.0)
+        assert np.all(vol * sign > 0.05 * np.abs(vol0))
+
+        # Enclosed volume approaches the analytic sphere volume (4/3 pi).
+        def enclosed(points, tets_):
+            return float(np.abs(tetmesh._tet_volumes(points, tets_)).sum())
+
+        true_vol = 4.0 / 3.0 * np.pi
+        assert abs(enclosed(p_snap, tets) - true_vol) < abs(
+            enclosed(p_raw, tets) - true_vol
+        )
