@@ -113,7 +113,9 @@ def _detect_point_tri_bodies_packed(
     size_over = jnp.any(too_big)
 
     ins_coords, ins_valid = _insertion_slots(lo_b, hi_b, live_b)
-    hgrid = build_grid(ins_coords, ins_valid, table_size_for(k))
+    # Oversize items insert up to 8 corners: size the table for the
+    # worst realistic entry count so aliasing never saturates buckets.
+    hgrid = build_grid(ins_coords, ins_valid, table_size_for(2 * k))
     q_coords, q_valid, _ = aabb_cell_slots(
         lo_b - 1.0, hi_b, budget.max_cells_per_tri, range_cap=8
     )
@@ -260,7 +262,9 @@ def _detect_point_tri_bodies(
     size_over = jnp.any(too_big)
 
     ins_coords, ins_valid = _insertion_slots(lo_b, hi_b, live_b)
-    hgrid = build_grid(ins_coords, ins_valid, table_size_for(k))
+    # Oversize items insert up to 8 corners: size the table for the
+    # worst realistic entry count so aliasing never saturates buckets.
+    hgrid = build_grid(ins_coords, ins_valid, table_size_for(2 * k))
     q_coords, q_valid, _ = aabb_cell_slots(
         lo_b - 1.0, hi_b, budget.max_cells_per_tri, range_cap=8
     )
@@ -382,7 +386,8 @@ def _celllist_candidates(
     size_over = jnp.any(too_big)
 
     ins_coords, ins_valid = _insertion_slots(lo, hi, live)
-    hgrid = build_grid(ins_coords, ins_valid, table_size_for(t))
+    # (see the 2x entry-count note in the packed-body path)
+    hgrid = build_grid(ins_coords, ins_valid, table_size_for(2 * t))
 
     # Query range: AABB cells plus one on the min side.
     q_coords, q_valid, q_over = aabb_cell_slots(

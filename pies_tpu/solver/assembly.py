@@ -155,48 +155,65 @@ def assemble_force(
     f = msn_h2
 
     # Distance: AᵀB = A = [[.5,-.5],[-.5,.5]] (Constraints.cpp:42-47).
+    # Both halves ride one scatter op (per-op cost dominates row count).
     d = topo.distance
-    half = 0.5 * d.w[:, None] * (local.distance[:, 0] - local.distance[:, 1])
-    f = f.at[d.idx[:, 0]].add(half)
-    f = f.at[d.idx[:, 1]].add(-half)
+    if d.idx.shape[0]:
+        half = 0.5 * d.w[:, None] * (
+            local.distance[:, 0] - local.distance[:, 1]
+        )
+        f = f.at[d.idx.T.reshape(-1)].add(
+            jnp.concatenate([half, -half], axis=0)
+        )
 
     # Position: AᵀB = I (Constraints.cpp:70-71).
     p = topo.position
-    f = f.at[p.idx].add(p.w[:, None] * local.position)
+    if p.idx.shape[0]:
+        f = f.at[p.idx].add(p.w[:, None] * local.position)
 
     # Tets: Aᵀ p = Gᵀ · p[1:4] (B = I, rows 1..3 of p are F̂'s columns).
     for batch, pl, contig in (
         (topo.strain, local.strain, strain_contiguous),
         (topo.volume, local.volume, volume_contiguous),
     ):
-        contrib = _einsum("cja,cjd->cad", batch.g, pl[:, 1:4, :])
-        f = _tet_scatter_add(f, batch, batch.w[:, None, None] * contrib, contig)
+        if batch.idx.shape[0]:
+            contrib = _einsum("cja,cjd->cad", batch.g, pl[:, 1:4, :])
+            f = _tet_scatter_add(
+                f, batch, batch.w[:, None, None] * contrib, contig
+            )
 
     # Bend: AᵀB = I₄ (Constraints.cpp:390-391).
     b = topo.bend
-    f = f.at[b.idx].add(b.w[:, None, None] * local.bend)
+    if b.idx.shape[0]:
+        f = f.at[b.idx].add(b.w[:, None, None] * local.bend)
 
     # Shape / goal matching: A = B = I per member
     # (ShapeMatchingConstraint.cpp:58-71,147-160).
     for grp, pl in ((topo.shape, local.shape), (topo.goal, local.goal)):
-        wm = grp.w[grp.group_idx] * grp.member_mask
-        f = f.at[grp.node_idx].add(wm[:, None] * pl)
+        if grp.node_idx.shape[0]:
+            wm = grp.w[grp.group_idx] * grp.member_mask
+            f = f.at[grp.node_idx].add(wm[:, None] * pl)
 
     # Point-triangle collisions: AᵀB·p = AᵀA·p (A = B,
     # CollisionConstraint.cpp:176-194).
-    wk = W_POINT_TRI * colls.pt_mask
-    if contact_coupling == "full":
-        ata = jnp.asarray(ATA_DIFF4, dtype=f.dtype)
-        contrib = _einsum("ab,kbd->kad", ata, local.point_tri)
-        f = f.at[colls.pt_idx].add(wk[:, None, None] * contrib)
-    else:
-        # Recentered: w·AᵀA·(p − x) collapses to AᵀA's first column times the
-        # point displacement (the projection moves only the point), plus the
-        # dense diagonal lag term D_c·x.
-        col0 = jnp.asarray(ATA_DIFF4[:, 0].copy(), dtype=f.dtype)  # [4]
-        contrib = (wk * col0[:, None])[..., None] * local.point_tri_delta[None]
-        # contrib: [4, K, 3] — scatter per constraint row.
-        f = f.at[colls.pt_idx.T].add(contrib)
+    if colls.pt_idx.shape[0]:
+        wk = W_POINT_TRI * colls.pt_mask
+        if contact_coupling == "full":
+            ata = jnp.asarray(ATA_DIFF4, dtype=f.dtype)
+            contrib = _einsum("ab,kbd->kad", ata, local.point_tri)
+            f = f.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+        else:
+            # Recentered: w·AᵀA·(p − x) collapses to AᵀA's first column
+            # times the point displacement (the projection moves only the
+            # point), plus the dense diagonal lag term D_c·x.
+            col0 = jnp.asarray(ATA_DIFF4[:, 0].copy(), dtype=f.dtype)  # [4]
+            contrib = (
+                (wk * col0[:, None])[..., None]
+                * local.point_tri_delta[None]
+            )
+            # contrib: [4, K, 3] — one scatter op over all four rows.
+            f = f.at[colls.pt_idx.T].add(contrib)
+            f = f + pt_diag[:, None] * x
+    elif contact_coupling != "full" and pt_diag is not None:
         f = f + pt_diag[:, None] * x
 
     # Edge-edge collisions: A identical to the point-tri differential
@@ -313,14 +330,17 @@ def apply_system(
     y = (mass_over_h2 + static_diag)[:, None] * x
 
     d = topo.distance
-    xa = x[d.idx[:, 0]]
-    xb = x[d.idx[:, 1]]
-    half = 0.5 * d.w[:, None] * (xa - xb)  # AᵀA = A for the distance energy
-    y = y.at[d.idx[:, 0]].add(half)
-    y = y.at[d.idx[:, 1]].add(-half)
+    if d.idx.shape[0]:
+        xa = x[d.idx[:, 0]]
+        xb = x[d.idx[:, 1]]
+        half = 0.5 * d.w[:, None] * (xa - xb)  # AᵀA = A for distance
+        y = y.at[d.idx.T.reshape(-1)].add(
+            jnp.concatenate([half, -half], axis=0)
+        )
 
     p = topo.position
-    y = y.at[p.idx].add(p.w[:, None] * x[p.idx])
+    if p.idx.shape[0]:
+        y = y.at[p.idx].add(p.w[:, None] * x[p.idx])
 
     if topo.tet_band.shape[1] == x.shape[0]:
         # Element-major strain+volume blocks as one banded operator: seven
@@ -345,18 +365,21 @@ def apply_system(
             )
 
     b = topo.bend
-    y = y.at[b.idx].add(b.w[:, None, None] * x[b.idx])
+    if b.idx.shape[0]:
+        y = y.at[b.idx].add(b.w[:, None, None] * x[b.idx])
 
     for grp in (topo.shape, topo.goal):
-        wm = grp.w[grp.group_idx] * grp.member_mask
-        y = y.at[grp.node_idx].add(wm[:, None] * x[grp.node_idx])
+        if grp.node_idx.shape[0]:
+            wm = grp.w[grp.group_idx] * grp.member_mask
+            y = y.at[grp.node_idx].add(wm[:, None] * x[grp.node_idx])
 
     if contact_coupling == "full":
         ata = jnp.asarray(ATA_DIFF4, dtype=x.dtype)
-        xg = x[colls.pt_idx]
-        contrib = _einsum("ab,kbd->kad", ata, xg)
-        wk = W_POINT_TRI * colls.pt_mask
-        y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
+        if colls.pt_idx.shape[0]:
+            xg = x[colls.pt_idx]
+            contrib = _einsum("ab,kbd->kad", ata, xg)
+            wk = W_POINT_TRI * colls.pt_mask
+            y = y.at[colls.pt_idx].add(wk[:, None, None] * contrib)
         if colls.edge_idx.shape[0]:
             xe = x[colls.edge_idx]
             contrib = _einsum("ab,kbd->kad", ata, xe)
@@ -373,8 +396,9 @@ def system_diag(
     (``Solver.cpp:179-210,242-259``)."""
     diag = mass_over_h2 + topo.stiffness_diag
     ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=diag.dtype)  # [4]
-    wk = W_POINT_TRI * colls.pt_mask
-    diag = diag.at[colls.pt_idx].add(wk[:, None] * ata_d[None, :])
+    if colls.pt_idx.shape[0]:
+        wk = W_POINT_TRI * colls.pt_mask
+        diag = diag.at[colls.pt_idx].add(wk[:, None] * ata_d[None, :])
     if colls.edge_idx.shape[0]:
         we = W_EDGE * colls.edge_mask
         diag = diag.at[colls.edge_idx].add(we[:, None] * ata_d[None, :])

@@ -84,7 +84,7 @@ class Solver:
         self.release_hinge = False
 
         # Observability (the reference has none, SURVEY §5).
-        self.last_residual: float = 0.0
+        self._residual_dev = None  # device-side CG residual of last tick
         self.last_tick_seconds: float = 0.0
         self.ticks: int = 0
 
@@ -464,32 +464,55 @@ class Solver:
     def current_params(self):
         """The exact ``PhysicsParams`` a ``tick()`` would use right now
         (scene-tuned broadphase cell + hinge toggle included) — so external
-        harnesses compile the same program as the public API."""
+        harnesses compile the same program as the public API.
+
+        Cached per (options, hinge, cell): rebuilding PhysicsParams uploads
+        ~11 scalars, and through a remote-TPU tunnel each upload costs a
+        round trip — per-tick rebuilding measured ~100 ms/tick of pure host
+        overhead at stress scale.
+        """
         self._prepare()
-        return make_params(
-            self._options,
-            release_hinge=self.release_hinge,
-            broadphase_cell=self._broadphase_cell,
-        )
+        key = (self._options, self.release_hinge, self._broadphase_cell)
+        if getattr(self, "_params_key", None) != key:
+            self._params_cache = make_params(
+                self._options,
+                release_hinge=self.release_hinge,
+                broadphase_cell=self._broadphase_cell,
+            )
+            self._params_key = key
+        return self._params_cache
 
     def tick(self, delta_time: float = 0.0):
         """Advance one tick.  Like the reference, the wall-clock argument is
         ignored in favor of the fixed timestep (``Solver.cpp:40-42,165``)."""
-        self._prepare()
-        params = make_params(
-            self._options,
-            release_hinge=self.release_hinge,
-            broadphase_cell=self._broadphase_cell,
-        )
+        params = self.current_params()
         t0 = time.perf_counter()
         self._state, residual = tick_fn(
             self._state, self._topology, params, self._config
         )
-        self._state.positions.block_until_ready()
+        # A value fetch, not block_until_ready: over the remote-TPU tunnel
+        # block_until_ready can return while the step is still enqueued
+        # (measured: ticks "completing" in 0.2 ms at 500k), which would make
+        # last_tick_seconds and any caller-side timing meaningless.  Fetching
+        # one scalar forces real completion for one round trip.
+        self._failed_host = bool(self._state.sim_failed)
         self.last_tick_seconds = time.perf_counter() - t0
-        self.last_residual = float(residual)
+        # Keep the residual on device; fetching it every tick would cost a
+        # device->host round trip per tick (see last_residual property).
+        self._residual_dev = residual
         self.ticks += 1
         self.render_state_dirty = True
+
+    @property
+    def last_residual(self) -> float:
+        """CG residual of the last tick (fetched lazily from device)."""
+        if getattr(self, "_residual_dev", None) is None:
+            return 0.0
+        return float(self._residual_dev)
+
+    @last_residual.setter
+    def last_residual(self, value: float):
+        self._residual_dev = value
 
     @property
     def sim_failed(self) -> bool:

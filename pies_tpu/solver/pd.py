@@ -248,14 +248,19 @@ def _node_node_friction(
     dvb = -(friction[:, None] * perp) * (im[:, 1] / w_sum)[:, None]
     m = touching.astype(vel.dtype)
 
-    # Count-averaged Jacobi application (cf. _point_tri_friction's note).
-    delta = jnp.zeros_like(vel)
-    count = jnp.zeros(vel.shape[0], vel.dtype)
-    delta = delta.at[idx[:, 0]].add(dva * m[:, None])
-    count = count.at[idx[:, 0]].add(m)
-    delta = delta.at[idx[:, 1]].add(dvb * m[:, None])
-    count = count.at[idx[:, 1]].add(m)
-    return vel + delta / jnp.maximum(count, 1.0)[:, None]
+    # Count-averaged Jacobi application (cf. _point_tri_friction's note);
+    # both node columns + counts in one fused scatter op.
+    upd = jnp.concatenate(
+        [
+            jnp.concatenate([dva * m[:, None], dvb * m[:, None]], axis=0),
+            jnp.tile(m, 2)[:, None],
+        ],
+        axis=-1,
+    )
+    acc = jnp.zeros((vel.shape[0], 4), vel.dtype).at[
+        idx.T.reshape(-1)
+    ].add(upd)
+    return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
 
 
 def _point_tri_friction(
@@ -296,17 +301,25 @@ def _point_tri_friction(
     # contact neutralizes vDotN and later contacts on the same node are
     # near-no-ops.  A raw Jacobi sum would apply k restitution kicks to a
     # node with k contacts and detonate dense piles; count-averaging is the
-    # stable batched equivalent of "first application wins".
-    delta = jnp.zeros_like(vel)
-    count = jnp.zeros(vel.shape[0], vel.dtype)
+    # stable batched equivalent of "first application wins".  All four node
+    # columns + counts ride one fused scatter op.
     m = colls.pt_mask
-    delta = delta.at[idx[:, 0]].add(dv * (im[:, 0] / w_sum)[:, None])
-    count = count.at[idx[:, 0]].add(m)
     share = -dv * (tri_w / w_sum)[:, None]
-    for k in (1, 2, 3):
-        delta = delta.at[idx[:, k]].add(share)
-        count = count.at[idx[:, k]].add(m)
-    return vel + delta / jnp.maximum(count, 1.0)[:, None]
+    vals = jnp.concatenate(
+        [
+            (dv * (im[:, 0] / w_sum)[:, None])[:, None],
+            jnp.broadcast_to(share[:, None], (share.shape[0], 3, 3)),
+        ],
+        axis=1,
+    )  # [K,4,3]
+    upd = jnp.concatenate(
+        [vals.transpose(1, 0, 2).reshape(-1, 3), jnp.tile(m, 4)[:, None]],
+        axis=-1,
+    )
+    acc = jnp.zeros((vel.shape[0], 4), vel.dtype).at[
+        idx.T.reshape(-1)
+    ].add(upd)
+    return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
 
 
 def _static_floor_friction(

@@ -29,7 +29,12 @@ _I32 = np.int32
 
 
 def _round_up(n: int, m: int) -> int:
-    return max(m, -(-n // m) * m)
+    # Empty batches stay size 0: every kernel op on them is statically
+    # elided (a single scatter op costs ~2.5 ms fixed on v5e regardless of
+    # row count, so padding empties to 8 rows is pure per-substep overhead).
+    if n == 0:
+        return 0
+    return -(-n // m) * m
 
 
 def _pad2(a: np.ndarray, cap: int, fill=0) -> np.ndarray:
