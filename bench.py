@@ -42,12 +42,15 @@ def main():
     solver._prepare()
     n_particles = solver._builder.num_nodes
 
-    for _ in range(warmup):
-        solver.tick()
+    # Batched stepping (one dispatch per chunk): per-dispatch overhead over
+    # the remote-TPU tunnel is ~27 ms x argument leaf count, which dominated
+    # per-tick stepping at stress scale.  Warmup uses the SAME batch size so
+    # the timed call reuses the compiled executable.
+    del warmup
+    solver.run_ticks(timed_ticks)
 
     t0 = time.perf_counter()
-    for _ in range(timed_ticks):
-        solver.tick()
+    solver.run_ticks(timed_ticks)
     elapsed = time.perf_counter() - t0
 
     assert not solver.sim_failed, "benchmark scene latched sim failure"

@@ -33,6 +33,7 @@ from ..options import (
 from ..scene.builder import SceneBuilder
 from ..state import SolverState, load_state, make_state, save_state
 from .step import tick as tick_fn
+from .step import tick_n as tick_n_fn
 
 _F32 = np.float32
 
@@ -55,7 +56,12 @@ class Solver:
         enable_node_collisions: bool = False,
         reference_quirks: bool = True,
         broadphase_mode: str = "celllist",
-        contact_coupling: str = "full",
+        # "recentered" has the identical fixed point to "full" (see
+        # options.StepConfig.contact_coupling) and keeps the point-triangle
+        # AtA block out of the CG operator: with full coupling that block
+        # alone measured 11 ms x 64 applies/substep at 500k (the single
+        # largest cost in the tick trace).
+        contact_coupling: str = "recentered",
         budget: CollisionBudget | None = None,
         node_capacity: int | None = None,
     ):
@@ -501,6 +507,24 @@ class Solver:
         # device->host round trip per tick (see last_residual property).
         self._residual_dev = residual
         self.ticks += 1
+        self.render_state_dirty = True
+
+    def run_ticks(self, n: int):
+        """Advance ``n`` ticks in ONE device dispatch (``lax.scan`` over the
+        tick body).  Semantically identical to ``n`` calls of :meth:`tick`;
+        per-dispatch overhead (tens of ms through a remote-TPU tunnel, times
+        the argument leaf count) is paid once instead of ``n`` times — the
+        production stepping API for throughput-bound use.
+        """
+        params = self.current_params()
+        t0 = time.perf_counter()
+        self._state, residual = tick_n_fn(
+            self._state, self._topology, params, self._config, int(n)
+        )
+        self._failed_host = bool(self._state.sim_failed)  # real sync
+        self.last_tick_seconds = (time.perf_counter() - t0) / max(1, n)
+        self._residual_dev = residual
+        self.ticks += int(n)
         self.render_state_dirty = True
 
     @property

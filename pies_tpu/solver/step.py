@@ -147,3 +147,27 @@ def tick(
 
     # _simFailed gate (Solver.cpp:26-28).
     return jax.lax.cond(state.sim_failed, skip, run, state)
+
+
+@partial(jax.jit, static_argnames=("config", "n"))
+def tick_n(
+    state: SolverState,
+    topo: Topology,
+    params: PhysicsParams,
+    config: StepConfig,
+    n: int,
+) -> tuple[SolverState, jax.Array]:
+    """``n`` ticks in ONE compiled dispatch; returns the last residual.
+
+    Per-dispatch overhead through a remote-TPU tunnel is tens of
+    milliseconds times the argument leaf count, so production stepping
+    should batch ticks (``Solver.run_ticks``); semantics are identical to
+    ``n`` calls of :func:`tick` (the sim-failed gate applies per tick).
+    """
+
+    def body(s, _):
+        s2, res = tick(s, topo, params, config)
+        return s2, res
+
+    state, residuals = jax.lax.scan(body, state, None, length=n)
+    return state, residuals[-1]

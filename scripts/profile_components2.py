@@ -20,13 +20,18 @@ import jax.numpy as jnp
 REPS = 16
 
 
+def _sync(out):
+    # value fetch: block_until_ready can fake-return over the remote tunnel
+    import numpy as _np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = _np.asarray(leaf).ravel()[:1]
+
+
 def bench(label, fn, *args):
     f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
+    _sync(f(*args))
     t0 = time.perf_counter()
-    out = f(*args)
-    jax.block_until_ready(out)
+    _sync(f(*args))
     dt = (time.perf_counter() - t0) / REPS
     print(f"{label:44s} {1e3*dt:10.3f} ms/rep", flush=True)
     return dt
