@@ -120,6 +120,54 @@ def detect_floor_contacts(
     return corner_idx, hit.astype(positions.dtype)
 
 
+SMALL_CONTACTS = 8192
+
+
+def capped_col_scatter(
+    n_rows: int,
+    width: int,
+    idx: jax.Array,  # i32[K, k] contact node columns
+    col_vals,  # list of k value blocks f32[K, width]
+    count: jax.Array,  # live contacts (they are a packed prefix of the buffer)
+    small: int = SMALL_CONTACTS,
+) -> jax.Array:
+    """Fused column-major contact scatter with a data-adaptive small path.
+
+    Scatter cost on v5e is ~1.5 ms fixed + rows/20M-per-s, so a capacity-
+    sized buffer (T/8 contacts at stress scale) pays ~11 ms per op even when
+    a handful of contacts are live.  Detection compacts live contacts to the
+    buffer prefix, so when ``count <= small`` a truncated scatter is exact;
+    ``lax.cond`` picks the branch at runtime.  Returns ``[n_rows, width]``.
+    """
+    k_cap = idx.shape[0]
+
+    def branch(kk):
+        def fn(_):
+            ui = jnp.concatenate([v[:kk] for v in col_vals], axis=0)
+            ii = idx[:kk].T.reshape(-1)
+            return jnp.zeros((n_rows, width), col_vals[0].dtype).at[ii].add(ui)
+
+        return fn
+
+    if k_cap <= small:
+        return branch(k_cap)(None)
+    return jax.lax.cond(count <= small, branch(small), branch(k_cap), None)
+
+
+def gather_cols(x: jax.Array, idx: jax.Array):
+    """Gather the per-constraint node rows as k separate 2-D [C, 3] arrays.
+
+    ``x[idx]`` with ``idx [C, k]`` materializes a [C, k, 3] buffer whose
+    minor (k, 3) dims tile-pad to (8, 128) on TPU — ~40x wasted lanes;
+    every touch of such a buffer measured ~11 ms at 62.5k contacts.  One
+    flat [k·C, 3] gather (column-major order) plus contiguous slices stays
+    2-D everywhere.
+    """
+    c, k = idx.shape
+    g = x[idx.T.reshape(-1)]  # [k*C, ...]
+    return tuple(g[i * c : (i + 1) * c] for i in range(k))
+
+
 def detect_floor_active(
     positions: jax.Array,
     floor_count: jax.Array,
@@ -208,6 +256,7 @@ def project_point_tri(
     positions: jax.Array,
     pt_idx: jax.Array,
     thickness: jax.Array,
+    build_stack: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Point-triangle local-step projection
     (``CollisionConstraint.cpp:86-124``): if the point is within ``thickness``
@@ -216,21 +265,24 @@ def project_point_tri(
 
     Returns ``(projected f32[K, 4, 3], delta_a f32[K, 3])`` where ``delta_a``
     is the point's displacement (``projected − gathered`` is zero everywhere
-    else) — the recentered contact coupling consumes it directly.
+    else) — the recentered contact coupling consumes it directly and passes
+    ``build_stack=False`` to skip materializing the tile-padded [K, 4, 3]
+    stack (projected is then a [0, 4, 3] placeholder).
     """
-    p = positions[pt_idx]  # [K,4,3]
-    a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    a, b, c, d = gather_cols(positions, pt_idx)
     n = jnp.cross(c - b, d - b)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     n_dot_p = jnp.sum(n * (a - b), axis=-1)
     disp = jnp.where(n_dot_p < thickness, thickness - n_dot_p, 0.0)
     delta_a = disp[:, None] * n
+    if not build_stack:
+        return jnp.zeros((0, 4, 3), positions.dtype), delta_a
     a_proj = a + delta_a
     return jnp.stack([a_proj, b, c, d], axis=1), delta_a
 
 
 def _edge_edge_closest_disp(
-    p: jax.Array,  # [E,4,3] gathered (a, b) edge 1, (c, d) edge 2
+    cols,  # tuple of 4 x [E,3]: (a, b) edge 1, (c, d) edge 2
     inv_mass4: jax.Array,  # [E,4]
     thickness: jax.Array,
     reference_quirks: bool,
@@ -249,7 +301,7 @@ def _edge_edge_closest_disp(
     """
     from .narrowphase import _segment_closest_uv
 
-    a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    a, b, c, d = cols
     ab, ac, ad = b - a, c - a, d - a
     u, v, degenerate = _segment_closest_uv(ab, ac, ad)
     if reference_quirks:
@@ -295,9 +347,10 @@ def project_edge_edge(
 
     Returns ``(projected [E,4,3], delta [E,4,3] = projected − gathered)``.
     """
-    p = positions[edge_idx]
+    cols = gather_cols(positions, edge_idx)
+    p = jnp.stack(cols, axis=1)
     active, disp, wa, wb, wc, wd = _edge_edge_closest_disp(
-        p, inv_mass[edge_idx], thickness, reference_quirks
+        cols, inv_mass[edge_idx], thickness, reference_quirks
     )
     # Sign: the reference's projection uses disp = −(thickness − dist)·n with
     # a,b += and c,d −= (CollisionConstraint.cpp:299-312) — which moves both
@@ -331,29 +384,27 @@ def stabilize_edge_edge(
     """One Jacobi pass of edge-edge stabilization
     (``CollisionConstraint.cpp:316-400``): direct push-out applied to
     position *and* prevPosition, count-averaged like the point-tri pass."""
-    p = positions[edge_idx]
+    cols = gather_cols(positions, edge_idx)
     active, disp, wa, wb, wc, wd = _edge_edge_closest_disp(
-        p, inv_mass[edge_idx], thickness, reference_quirks
+        cols, inv_mass[edge_idx], thickness, reference_quirks
     )
     active = active & (edge_mask > 0)
-    am = active.astype(positions.dtype)
-    per_node = jnp.stack(
-        [
-            wa[:, None] * disp,
-            wb[:, None] * disp,
-            -wc[:, None] * disp,
-            -wd[:, None] * disp,
-        ],
-        axis=1,
-    ) * am[:, None, None]
-
+    am = active.astype(positions.dtype)[:, None]
     upd = jnp.concatenate(
         [
-            per_node.transpose(1, 0, 2).reshape(-1, 3),
-            jnp.tile(am, 4)[:, None],
+            jnp.concatenate(
+                [
+                    wa[:, None] * disp * am,
+                    wb[:, None] * disp * am,
+                    -wc[:, None] * disp * am,
+                    -wd[:, None] * disp * am,
+                ],
+                axis=0,
+            ),
+            jnp.tile(am[:, 0], 4)[:, None],
         ],
         axis=-1,
-    )  # [4E, 4] — one fused scatter (xyz + count)
+    )  # [4E, 4] — one fused scatter (xyz + count), 2-D throughout
     acc = jnp.zeros(
         (positions.shape[0], 4), positions.dtype
     ).at[edge_idx.T.reshape(-1)].add(upd)
@@ -377,8 +428,7 @@ def stabilize_point_tri(
     accumulated and applied at once (deterministic ``scatter-add``), which the
     fidelity suite bounds against the sequential oracle.
     """
-    p = positions[pt_idx]
-    a, b, c, d = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    a, b, c, d = gather_cols(positions, pt_idx)
     n = jnp.cross(c - b, d - b)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     n_dot_p = jnp.sum(n * (a - b), axis=-1)
@@ -400,20 +450,12 @@ def stabilize_point_tri(
     # solver/pd.py).  Averaging keeps dense piles from overshooting.
     # One fused scatter op carries all four node columns and the counts
     # (per-op cost ~2.5 ms on v5e dominates row count).
-    am = active.astype(positions.dtype)
-    vals = jnp.concatenate(
-        [da[:, None], jnp.broadcast_to(dbcd[:, None], (dbcd.shape[0], 3, 3))],
-        axis=1,
-    )  # [K,4,3]
-    upd = jnp.concatenate(
-        [
-            vals.transpose(1, 0, 2).reshape(-1, 3),
-            jnp.tile(am, 4)[:, None],
-        ],
-        axis=-1,
-    )  # [4K, 4] = (dx, dy, dz, count)
-    acc = jnp.zeros(
-        (positions.shape[0], 4), positions.dtype
-    ).at[pt_idx.T.reshape(-1)].add(upd)
+    am = active.astype(positions.dtype)[:, None]
+    blk_a = jnp.concatenate([da, am], axis=-1)  # (dx, dy, dz, count)
+    blk_t = jnp.concatenate([dbcd, am], axis=-1)
+    acc = capped_col_scatter(
+        positions.shape[0], 4, pt_idx, [blk_a, blk_t, blk_t, blk_t],
+        jnp.sum(pt_mask),
+    )
     delta = acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
     return positions + delta, prev_positions + delta

@@ -35,6 +35,7 @@ from ..collision.batches import (
     W_POINT_TRI,
     W_STATIC,
     CollisionSet,
+    capped_col_scatter,
     project_edge_edge,
     project_node_node,
     project_point_tri,
@@ -78,14 +79,22 @@ def local_step(
     strain_contiguous: bool = False,
     volume_contiguous: bool = False,
     radius: jax.Array | None = None,
+    pt_full: bool = True,
 ) -> LocalStep:
     """Project every constraint type onto its manifold from the *same*
     positions — exactly the reference's local step, which reads node state
-    without mutating it (``Solver.cpp:270-308``)."""
+    without mutating it (``Solver.cpp:270-308``).
+
+    ``pt_full=False`` (recentered contact coupling) skips building the
+    [K, 4, 3] point-triangle projection stack — only ``point_tri_delta``
+    is consumed downstream.
+    """
     shape_p, quats = proj.project_shape(
         x, mass, quats, topo.shape, rotation_iterations
     )
-    pt_proj, pt_delta = project_point_tri(x, colls.pt_idx, thickness)
+    pt_proj, pt_delta = project_point_tri(
+        x, colls.pt_idx, thickness, build_stack=pt_full
+    )
     edge_proj, edge_delta = project_edge_edge(
         x, inv_mass, colls.edge_idx, thickness, reference_quirks
     )
@@ -204,14 +213,16 @@ def assemble_force(
         else:
             # Recentered: w·AᵀA·(p − x) collapses to AᵀA's first column
             # times the point displacement (the projection moves only the
-            # point), plus the dense diagonal lag term D_c·x.
-            col0 = jnp.asarray(ATA_DIFF4[:, 0].copy(), dtype=f.dtype)  # [4]
-            contrib = (
-                (wk * col0[:, None])[..., None]
-                * local.point_tri_delta[None]
+            # point), plus the dense diagonal lag term D_c·x.  One flat
+            # [4K, 3] scatter, 2-D throughout (no tile-padded [K,4,3]).
+            col0 = ATA_DIFF4[:, 0]
+            delta = local.point_tri_delta
+            blocks = [
+                (wk * float(col0[a]))[:, None] * delta for a in range(4)
+            ]
+            f = f + capped_col_scatter(
+                f.shape[0], 3, colls.pt_idx, blocks, jnp.sum(colls.pt_mask)
             )
-            # contrib: [4, K, 3] — one scatter op over all four rows.
-            f = f.at[colls.pt_idx.T].add(contrib)
             f = f + pt_diag[:, None] * x
     elif contact_coupling != "full" and pt_diag is not None:
         f = f + pt_diag[:, None] * x
@@ -273,11 +284,13 @@ def point_tri_collision_diag(
 ) -> jax.Array:
     """Dense per-node AᵀA diagonal of the point-triangle contacts (for
     ``contact_coupling="recentered"``), built once per substep."""
-    ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=dtype)  # [4]
-    contrib = (W_POINT_TRI * colls.pt_mask)[:, None] * ata_d[None, :]
-    return jax.ops.segment_sum(
-        contrib.reshape(-1), colls.pt_idx.reshape(-1), num_segments=num_nodes
-    ).astype(dtype)
+    wk = W_POINT_TRI * colls.pt_mask
+    blocks = [
+        (wk * float(ATA_DIFF4[a, a]))[:, None] for a in range(4)
+    ]
+    return capped_col_scatter(
+        num_nodes, 1, colls.pt_idx, blocks, jnp.sum(colls.pt_mask)
+    )[:, 0].astype(dtype)
 
 
 def edge_collision_diag(
@@ -398,7 +411,10 @@ def system_diag(
     ata_d = jnp.asarray(ATA_DIFF4.diagonal().copy(), dtype=diag.dtype)  # [4]
     if colls.pt_idx.shape[0]:
         wk = W_POINT_TRI * colls.pt_mask
-        diag = diag.at[colls.pt_idx].add(wk[:, None] * ata_d[None, :])
+        blocks = [(wk * float(ATA_DIFF4[a, a]))[:, None] for a in range(4)]
+        diag = diag + capped_col_scatter(
+            diag.shape[0], 1, colls.pt_idx, blocks, jnp.sum(colls.pt_mask)
+        )[:, 0]
     if colls.edge_idx.shape[0]:
         we = W_EDGE * colls.edge_mask
         diag = diag.at[colls.edge_idx].add(we[:, None] * ata_d[None, :])

@@ -105,6 +105,7 @@ def pd_substep(
             config.strain_contiguous,
             config.volume_contiguous,
             radius=state.radius,
+            pt_full=(config.contact_coupling == "full"),
         )
         force = assembly.assemble_force(
             msn_h2,
@@ -272,15 +273,17 @@ def _point_tri_friction(
 ) -> jax.Array:
     """Point-triangle friction + restitution pass (``Solver.cpp:431-471``),
     Jacobi-accumulated instead of sequential in-place."""
+    from ..collision.batches import gather_cols
+
     idx = colls.pt_idx
-    p = x[idx]
-    v = vel[idx]
+    pa, pb, pc, pd_ = gather_cols(x, idx)
+    va, vb, vc, vd = gather_cols(vel, idx)
     im = inv_mass[idx]
 
-    avg_tri_vel = (v[:, 1] + v[:, 2] + v[:, 3]) / 3.0
-    n = jnp.cross(p[:, 2] - p[:, 1], p[:, 3] - p[:, 1])
+    avg_tri_vel = (vb + vc + vd) / 3.0
+    n = jnp.cross(pc - pb, pd_ - pb)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    rel = v[:, 0] - avg_tri_vel
+    rel = va - avg_tri_vel
     v_dot_n = jnp.sum(rel * n, axis=-1)
     perp = rel - v_dot_n[:, None] * n
 
@@ -303,22 +306,17 @@ def _point_tri_friction(
     # node with k contacts and detonate dense piles; count-averaging is the
     # stable batched equivalent of "first application wins".  All four node
     # columns + counts ride one fused scatter op.
-    m = colls.pt_mask
+    from ..collision.batches import capped_col_scatter
+
+    m = colls.pt_mask[:, None]
     share = -dv * (tri_w / w_sum)[:, None]
-    vals = jnp.concatenate(
-        [
-            (dv * (im[:, 0] / w_sum)[:, None])[:, None],
-            jnp.broadcast_to(share[:, None], (share.shape[0], 3, 3)),
-        ],
-        axis=1,
-    )  # [K,4,3]
-    upd = jnp.concatenate(
-        [vals.transpose(1, 0, 2).reshape(-1, 3), jnp.tile(m, 4)[:, None]],
-        axis=-1,
+    point = dv * (im[:, 0] / w_sum)[:, None]
+    blk_a = jnp.concatenate([point, m], axis=-1)
+    blk_t = jnp.concatenate([share, m], axis=-1)
+    acc = capped_col_scatter(
+        vel.shape[0], 4, idx, [blk_a, blk_t, blk_t, blk_t],
+        jnp.sum(colls.pt_mask),
     )
-    acc = jnp.zeros((vel.shape[0], 4), vel.dtype).at[
-        idx.T.reshape(-1)
-    ].add(upd)
     return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
 
 
