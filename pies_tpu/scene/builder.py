@@ -364,14 +364,25 @@ class SceneBuilder:
     # ------------------------------------------------------------------
 
     def create_rope(
-        self, start, end, num_nodes: int, w: float, mass=1.0, radius=0.25,
+        self, start, end, num_nodes: int, w: float, mass=1.0, radius=None,
         pin_start: bool = True, pin_end: bool = False,
     ):
         """Rope of ``num_nodes`` particles chained by distance constraints —
         the BASELINE.json config-1 'coiling rope' scene (no rope builder
-        exists in the reference; this extends the primitive set)."""
+        exists in the reference; this extends the primitive set).
+
+        ``radius`` defaults to 40% of the segment spacing (capped at 0.25)
+        so chain neighbors never start overlapping — overlapping neighbors
+        feed the node-node collision response every iteration and detonate
+        the chain (in the reference's PBD sweep just the same).
+        """
         t = np.linspace(0.0, 1.0, num_nodes, dtype=_F32)[:, None]
         pos = np.asarray(start, _F32) * (1 - t) + np.asarray(end, _F32) * t
+        if radius is None:
+            spacing = float(
+                np.linalg.norm(np.asarray(end, _F32) - np.asarray(start, _F32))
+            ) / max(num_nodes - 1, 1)
+            radius = min(0.25, 0.4 * spacing)
         node_ids = self._emit_nodes(pos, inv_mass=1.0 / mass, radius=radius)
         # PBD's distance projection is one-sided: only the pair's node 0
         # moves (Constraints.cpp:34), so tension propagates node0 -> node1

@@ -115,24 +115,38 @@ static void addTetSoup(Solver& solver, int count) {
 }
 
 static void addRope(Solver& solver, int n) {
-  // Mirrors SceneBuilder.create_rope((0,8,0) -> (6,8,0), w=10000, PBD).
-  const float w = 10000.0f;
-  const glm::vec3 start(0.0f, 8.0f, 0.0f), end(6.0f, 8.0f, 0.0f);
-  for (int i = 0; i < n; ++i) {
-    float t = float(i) / float(n - 1);
-    Node& node = solver._nodes.emplace_back();
-    node.id = uint32_t(i);
-    node.position = glm::mix(start, end, t);
-    node.prevPosition = node.position;
-    node.velocity = glm::vec3(0.0f);
-    node.radius = 0.25f;
-    node.invMass = 1.0f;
+  // Mirrors bench_all config 1: a fleet of pinned 32-node ropes (n total
+  // particles).  PBD applies position += w * (projected - position)
+  // (Constraints.h:127), so w is a blend factor <= 1; the radius stays
+  // below half the segment spacing so chain neighbors don't start inside
+  // the node-node response; 32 links is within the stable chain depth for
+  // 4 projection iterations in BOTH engines.
+  const float w = 0.9f;
+  const int per = 32;
+  const int ropes = n / per;
+  const float spacing = 3.0f / float(per - 1);
+  const float radius = std::min(0.25f, 0.4f * spacing);
+  for (int r = 0; r < ropes; ++r) {
+    const glm::vec3 start(0.5f * float(r % 16), 8.0f, 0.7f * float(r / 16));
+    const glm::vec3 end = start + glm::vec3(3.0f, 0.0f, 0.0f);
+    const int base = r * per;
+    for (int i = 0; i < per; ++i) {
+      float t = float(i) / float(per - 1);
+      Node& node = solver._nodes.emplace_back();
+      node.id = uint32_t(base + i);
+      node.position = glm::mix(start, end, t);
+      node.prevPosition = node.position;
+      node.velocity = glm::vec3(0.0f);
+      node.radius = radius;
+      node.invMass = 1.0f;
+    }
+    for (int i = 1; i < per; ++i)
+      solver._distanceConstraints.push_back(createDistanceConstraint(
+          solver._constraintId++, solver._nodes[base + i],
+          solver._nodes[base + i - 1], w));
+    solver._positionConstraints.push_back(createPositionConstraint(
+        solver._constraintId++, solver._nodes[base], w));
   }
-  for (int i = 1; i < n; ++i)
-    solver._distanceConstraints.push_back(createDistanceConstraint(
-        solver._constraintId++, solver._nodes[i], solver._nodes[i - 1], w));
-  solver._positionConstraints.push_back(
-      createPositionConstraint(solver._constraintId++, solver._nodes[0], w));
   solver._vertices.resize(solver._nodes.size());
 }
 
