@@ -9,7 +9,8 @@ REF=${PIES_REFERENCE:-/root/reference}
 EIGEN=$(python -c "import tensorflow, os; print(os.path.join(os.path.dirname(tensorflow.__file__), 'include'))" 2>/dev/null \
   || echo /opt/venv/lib/python3.12/site-packages/tensorflow/include)
 
-g++ -O3 -march=native -std=c++17 -pthread \
+# -mno-avx512fp16: Eigen's AVX512 FP16 kernels don't compile under this gcc
+g++ -O3 -march=native -mno-avx512fp16 -std=c++17 -pthread \
   -I "$REF/Include" -I "$REF/Include/Pies" -I shims -I "$EIGEN" \
   -o refbench \
   refbench.cpp \

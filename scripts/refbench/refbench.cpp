@@ -167,6 +167,39 @@ int main(int argc, char** argv) {
   } else if (scene == "rope") {
     addRope(solver, n);
     particles = n;
+  } else if (scene == "cloth") {
+    // bench_all config 2: the reference's own createSheet (public API).
+    solver.createSheet(glm::vec3(0.0f, 10.0f, 0.0f), 1.0f, 1.0f, 5000.0f);
+    particles = int(solver._nodes.size());
+  } else if (scene == "blobs") {
+    // bench_all config 4a: 64 shape-matching 5x5x5 boxes (public API).
+    int nb = n > 0 ? n : 64;
+    int side = int(std::ceil(std::sqrt(float(nb))));
+    for (int b = 0; b < nb; ++b) {
+      int i = b / side, j = b % side;
+      solver.createShapeMatchingBox(
+          glm::vec3(3.0f * i, 1.0f + 0.5f * (b % 3), 3.0f * j), 5, 5, 5,
+          1.0f, glm::vec3(0.0f), 4000.0f);
+    }
+    particles = int(solver._nodes.size());
+  } else if (scene == "pile") {
+    // bench_all config 4b: PBD node pile (node-node broadphase).
+    options.solver = SolverName::PBD;
+    solver = Solver(options);
+    std::srand(3);
+    for (int i = 0; i < n; ++i) {
+      Node& node = solver._nodes.emplace_back();
+      node.id = uint32_t(i);
+      auto u = [] { return float(std::rand()) / float(RAND_MAX); };
+      node.position = glm::vec3(-4.0f + 8.0f * u(), 0.5f + 5.5f * u(),
+                                -4.0f + 8.0f * u());
+      node.prevPosition = node.position;
+      node.velocity = glm::vec3(0.0f);
+      node.radius = 0.5f;
+      node.invMass = 1.0f;
+    }
+    solver._vertices.resize(solver._nodes.size());
+    particles = n;
   } else {
     std::fprintf(stderr, "unknown scene %s\n", scene.c_str());
     return 1;
