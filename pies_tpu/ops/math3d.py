@@ -190,6 +190,181 @@ def _perp(x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Flat (structure-of-columns) 3x3 pipeline
+#
+# A "matrix" is a tuple of nine [...]-shaped arrays, row-major (m[3*i+j]).
+# On TPU a materialized [C, 3, 3] buffer tile-pads its (3, 3) minor dims to
+# (8, 128) — ~100x wasted lanes, measured ~1.3 ms per kernel boundary at
+# C = 125k.  The flat form keeps every element a clean 1-D array, so the
+# whole SVD/projection chain fuses into a few full-bandwidth kernels.
+# Semantics mirror the [..., 3, 3] functions above exactly.
+# ---------------------------------------------------------------------------
+
+
+def flatten3x3(m: jax.Array):
+    """[..., 3, 3] -> 9-tuple (one fused multi-output read of the buffer)."""
+    return tuple(m[..., i, j] for i in range(3) for j in range(3))
+
+
+def det3x3_flat(m):
+    return (
+        m[0] * (m[4] * m[8] - m[5] * m[7])
+        - m[1] * (m[3] * m[8] - m[5] * m[6])
+        + m[2] * (m[3] * m[7] - m[4] * m[6])
+    )
+
+
+def matmul_flat(a, b):
+    """(ab)[i,j] = sum_k a[i,k] b[k,j] on 9-tuples."""
+    return tuple(
+        a[3 * i + 0] * b[0 + j] + a[3 * i + 1] * b[3 + j] + a[3 * i + 2] * b[6 + j]
+        for i in range(3)
+        for j in range(3)
+    )
+
+
+def _jacobi_rotate_flat(s, v, p: int, q: int):
+    """Flat twin of :func:`_jacobi_rotate` (same formulas and order)."""
+    s = list(s)
+    v = list(v)
+    app, aqq, apq = s[3 * p + p], s[3 * q + q], s[3 * p + q]
+    tiny = jnp.asarray(1e-20, dtype=app.dtype)
+    tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < tiny, tiny, apq))
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(jnp.abs(apq) < tiny, jnp.zeros_like(t), t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    sn = t * c
+
+    for r in range(3):  # rows p, q
+        sp, sq = s[3 * p + r], s[3 * q + r]
+        s[3 * p + r] = c * sp - sn * sq
+        s[3 * q + r] = sn * sp + c * sq
+    for r in range(3):  # cols p, q
+        sp, sq = s[3 * r + p], s[3 * r + q]
+        s[3 * r + p] = c * sp - sn * sq
+        s[3 * r + q] = sn * sp + c * sq
+    zero = jnp.zeros_like(s[0])
+    s[3 * p + q] = zero
+    s[3 * q + p] = zero
+
+    for r in range(3):
+        vp, vq = v[3 * r + p], v[3 * r + q]
+        v[3 * r + p] = c * vp - sn * vq
+        v[3 * r + q] = sn * vp + c * vq
+    return tuple(s), tuple(v)
+
+
+def eigh3x3_flat(s, sweeps: int = _JACOBI_SWEEPS):
+    """Flat twin of :func:`eigh3x3`: returns (w 3-tuple, v 9-tuple)."""
+    one = jnp.ones_like(s[0])
+    zero = jnp.zeros_like(s[0])
+    v = (one, zero, zero, zero, one, zero, zero, zero, one)
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            s, v = _jacobi_rotate_flat(s, v, p, q)
+    w = [s[0], s[4], s[8]]
+    v = list(v)
+
+    def swap_if(i, j):
+        do = w[i] < w[j]
+        w[i], w[j] = (
+            jnp.where(do, w[j], w[i]),
+            jnp.where(do, w[i], w[j]),
+        )
+        for r in range(3):
+            vi, vj = v[3 * r + i], v[3 * r + j]
+            v[3 * r + i] = jnp.where(do, vj, vi)
+            v[3 * r + j] = jnp.where(do, vi, vj)
+
+    swap_if(0, 1)
+    swap_if(1, 2)
+    swap_if(0, 1)
+    return tuple(w), tuple(v)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def svd3x3_flat(f, sweeps: int = _JACOBI_SWEEPS):
+    """Flat twin of :func:`svd3x3`: f (9-tuple) -> (u 9-tuple, sigma
+    3-tuple, v 9-tuple), same contract."""
+    # s = fᵀ f
+    s = tuple(
+        f[0 + i] * f[0 + k] + f[3 + i] * f[3 + k] + f[6 + i] * f[6 + k]
+        for i in range(3)
+        for k in range(3)
+    )
+    w, v = eigh3x3_flat(s, sweeps=sweeps)
+    sigma = tuple(jnp.sqrt(jnp.maximum(wk, 0.0)) for wk in w)
+
+    eps = jnp.asarray(1e-12, dtype=f[0].dtype)
+    # fv columns = U diag(σ)
+    def col(mat, j):
+        return (mat[0 + j], mat[3 + j], mat[6 + j])
+
+    fv = matmul_flat(f, v)
+    u_cols = []
+    for j in range(3):
+        cj = col(fv, j)
+        inv = 1.0 / jnp.maximum(sigma[j], eps)
+        u_cols.append(tuple(x * inv for x in cj))
+
+    def normalize(x, fallback):
+        n = jnp.sqrt(_dot3(x, x))
+        ok = n > 1e-6
+        inv = 1.0 / jnp.maximum(n, eps)
+        return tuple(jnp.where(ok, xi * inv, fi) for xi, fi in zip(x, fallback))
+
+    ex = (jnp.ones_like(sigma[0]), jnp.zeros_like(sigma[0]), jnp.zeros_like(sigma[0]))
+    u0 = normalize(u_cols[0], ex)
+    d10 = _dot3(u_cols[1], u0)
+    u1r = tuple(x - d10 * y for x, y in zip(u_cols[1], u0))
+    u1 = normalize(u1r, _perp_flat(u0))
+    d20 = _dot3(u_cols[2], u0)
+    u2r = tuple(x - d20 * y for x, y in zip(u_cols[2], u0))
+    d21 = _dot3(u2r, u1)
+    u2r = tuple(x - d21 * y for x, y in zip(u2r, u1))
+    detf = det3x3_flat(f)
+    detv = det3x3_flat(v)
+    sgn = jnp.sign(detf * detv) + (detf == 0)
+    crs = tuple(x * sgn for x in _cross3(u0, u1))
+    u2 = normalize(u2r, crs)
+    u = (
+        u0[0], u1[0], u2[0],
+        u0[1], u1[1], u2[1],
+        u0[2], u1[2], u2[2],
+    )
+    return u, sigma, v
+
+
+def _perp_flat(x):
+    """Flat twin of :func:`_perp` for a unit 3-vector tuple."""
+    ax = tuple(jnp.abs(xi) for xi in x)
+    use_x = jnp.logical_and(ax[0] <= ax[1], ax[0] <= ax[2])
+    use_y = jnp.logical_and(~use_x, ax[1] <= ax[2])
+    dt = x[0].dtype
+    e = (
+        use_x.astype(dt),
+        use_y.astype(dt),
+        (~jnp.logical_or(use_x, use_y)).astype(dt),
+    )
+    d = _dot3(e, x)
+    p = tuple(ei - d * xi for ei, xi in zip(e, x))
+    n = jnp.sqrt(_dot3(p, p))
+    inv = 1.0 / jnp.maximum(n, 1e-12)
+    return tuple(pi * inv for pi in p)
+
+
+# ---------------------------------------------------------------------------
 # Quaternions (w, x, y, z) and Müller rotation extraction
 # ---------------------------------------------------------------------------
 

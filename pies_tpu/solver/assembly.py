@@ -51,8 +51,12 @@ class LocalStep(NamedTuple):
 
     distance: jax.Array  # [Cd, 2, 3]
     position: jax.Array  # [Cp, 3]
-    strain: jax.Array  # [Cs, 4, 3]
+    strain: jax.Array  # [Cs, 4, 3] ([0,4,3] when the flat path is active)
     volume: jax.Array  # [Cv, 4, 3]
+    # Flat per-tet force contributions w·AᵀB·p̂ (see projections.tet_force12);
+    # [0, 12] when the stacked path is active.
+    strain_force12: jax.Array  # [Cs, 12]
+    volume_force12: jax.Array  # [Cv, 12]
     bend: jax.Array  # [Cb, 4, 3]
     shape: jax.Array  # [Ms, 3] per-member
     goal: jax.Array  # [Mg, 3] per-member
@@ -80,6 +84,7 @@ def local_step(
     volume_contiguous: bool = False,
     radius: jax.Array | None = None,
     pt_full: bool = True,
+    tet_flat: bool = True,
 ) -> LocalStep:
     """Project every constraint type onto its manifold from the *same*
     positions — exactly the reference's local step, which reads node state
@@ -95,6 +100,22 @@ def local_step(
     pt_proj, pt_delta = project_point_tri(
         x, colls.pt_idx, thickness, build_stack=pt_full
     )
+    z043 = jnp.zeros((0, 4, 3), x.dtype)
+    z12 = jnp.zeros((0, 12), x.dtype)
+    if tet_flat:
+        strain_p, volume_p = z043, z043
+        strain12 = (
+            proj.tet_force12(x, topo.strain, "strain", strain_contiguous)
+            if topo.strain.idx.shape[0] else z12
+        )
+        volume12 = (
+            proj.tet_force12(x, topo.volume, "volume", volume_contiguous)
+            if topo.volume.idx.shape[0] else z12
+        )
+    else:
+        strain_p = proj.project_strain(x, topo.strain, strain_contiguous)
+        volume_p = proj.project_volume(x, topo.volume, volume_contiguous)
+        strain12, volume12 = z12, z12
     edge_proj, edge_delta = project_edge_edge(
         x, inv_mass, colls.edge_idx, thickness, reference_quirks
     )
@@ -111,8 +132,10 @@ def local_step(
     return LocalStep(
         distance=proj.project_distance(x, topo.distance),
         position=proj.project_position(topo.position),
-        strain=proj.project_strain(x, topo.strain, strain_contiguous),
-        volume=proj.project_volume(x, topo.volume, volume_contiguous),
+        strain=strain_p,
+        volume=volume_p,
+        strain_force12=strain12,
+        volume_force12=volume12,
         bend=proj.project_bend(x, inv_mass, topo.bend),
         shape=shape_p,
         goal=proj.project_goal(topo.goal),
@@ -180,11 +203,22 @@ def assemble_force(
         f = f.at[p.idx].add(p.w[:, None] * local.position)
 
     # Tets: Aᵀ p = Gᵀ · p[1:4] (B = I, rows 1..3 of p are F̂'s columns).
-    for batch, pl, contig in (
-        (topo.strain, local.strain, strain_contiguous),
-        (topo.volume, local.volume, volume_contiguous),
+    # The flat path delivers the whole w·AᵀB·p̂ chain as [C, 12] with no
+    # tile-padded intermediates (projections.tet_force12).
+    for batch, pl, f12, contig in (
+        (topo.strain, local.strain, local.strain_force12, strain_contiguous),
+        (topo.volume, local.volume, local.volume_force12, volume_contiguous),
     ):
-        if batch.idx.shape[0]:
+        if f12.shape[0]:
+            c = batch.idx.shape[0]
+            if contig:
+                f = f.at[: 4 * c].add(f12.reshape(4 * c, 3))
+            else:
+                blocks = jnp.concatenate(
+                    [f12[:, 3 * a : 3 * a + 3] for a in range(4)], axis=0
+                )
+                f = f.at[batch.idx.T.reshape(-1)].add(blocks)
+        elif batch.idx.shape[0]:
             contrib = _einsum("cja,cjd->cad", batch.g, pl[:, 1:4, :])
             f = _tet_scatter_add(
                 f, batch, batch.w[:, None, None] * contrib, contig
