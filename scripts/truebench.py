@@ -15,7 +15,7 @@ def main():
     from pies_tpu.solver.step import tick_n
 
     s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True,
-               contact_coupling=os.environ.get("PIES_COUPLING", "full"))
+               contact_coupling=os.environ.get("PIES_COUPLING", "recentered"))
     s.create_tet_soup(n_tets, 1.6, 0.8, w=2000.0, height=0.5, jitter=0.05)
     s._prepare()
     params = s.current_params()
