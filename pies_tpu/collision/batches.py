@@ -154,6 +154,33 @@ def capped_col_scatter(
     return jax.lax.cond(count <= small, branch(small), branch(k_cap), None)
 
 
+def capped_contact_acc(
+    idx: jax.Array,  # i32[K, k]
+    count: jax.Array,  # live contacts (packed prefix of the buffer)
+    acc_fn,  # (idx_prefix) -> [n_rows, width] accumulator
+    small: int = SMALL_CONTACTS,
+) -> jax.Array:
+    """Run a whole contact pass (gathers → math → scatter) on the live
+    prefix of the contact buffer when ``count <= small``.
+
+    ``capped_col_scatter`` caps only the scatter; at stress scale the
+    *gathers* of a capacity-sized pass (4 x 62.5k rows per stabilization
+    iteration) cost ~3 ms each even with zero live contacts.  Detection
+    compacts live contacts to the buffer prefix, so a truncated pass is
+    exact; ``lax.cond`` picks the branch at runtime and both branches
+    return the same dense accumulator shape.
+    """
+    k_cap = idx.shape[0]
+    if k_cap <= small:
+        return acc_fn(slice(None))
+    return jax.lax.cond(
+        count <= small,
+        lambda _: acc_fn(slice(0, small)),
+        lambda _: acc_fn(slice(None)),
+        None,
+    )
+
+
 def gather_cols(x: jax.Array, idx: jax.Array):
     """Gather the per-constraint node rows as k separate 2-D [C, 3] arrays.
 
@@ -257,6 +284,7 @@ def project_point_tri(
     pt_idx: jax.Array,
     thickness: jax.Array,
     build_stack: bool = True,
+    pt_count: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Point-triangle local-step projection
     (``CollisionConstraint.cpp:86-124``): if the point is within ``thickness``
@@ -269,16 +297,31 @@ def project_point_tri(
     ``build_stack=False`` to skip materializing the tile-padded [K, 4, 3]
     stack (projected is then a [0, 4, 3] placeholder).
     """
-    a, b, c, d = gather_cols(positions, pt_idx)
-    n = jnp.cross(c - b, d - b)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    n_dot_p = jnp.sum(n * (a - b), axis=-1)
-    disp = jnp.where(n_dot_p < thickness, thickness - n_dot_p, 0.0)
-    delta_a = disp[:, None] * n
+    def delta_fn(sl):
+        a, b, c, d = gather_cols(positions, pt_idx[sl])
+        n = jnp.cross(c - b, d - b)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        n_dot_p = jnp.sum(n * (a - b), axis=-1)
+        disp = jnp.where(n_dot_p < thickness, thickness - n_dot_p, 0.0)
+        delta = disp[:, None] * n
+        if not build_stack:
+            pad = pt_idx.shape[0] - delta.shape[0]
+            if pad:
+                delta = jnp.concatenate(
+                    [delta, jnp.zeros((pad, 3), delta.dtype)]
+                )
+            return delta
+        return jnp.stack([a + delta, b, c, d], axis=1), delta
+
     if not build_stack:
+        # Recentered coupling only consumes the point displacement; the
+        # whole gather → normal → displacement chain runs on the live
+        # contact prefix when few contacts are live (capped_contact_acc).
+        if pt_count is None:
+            pt_count = jnp.asarray(pt_idx.shape[0])
+        delta_a = capped_contact_acc(pt_idx, pt_count, delta_fn)
         return jnp.zeros((0, 4, 3), positions.dtype), delta_a
-    a_proj = a + delta_a
-    return jnp.stack([a_proj, b, c, d], axis=1), delta_a
+    return delta_fn(slice(None))
 
 
 def _edge_edge_closest_disp(
@@ -428,34 +471,43 @@ def stabilize_point_tri(
     accumulated and applied at once (deterministic ``scatter-add``), which the
     fidelity suite bounds against the sequential oracle.
     """
-    a, b, c, d = gather_cols(positions, pt_idx)
-    n = jnp.cross(c - b, d - b)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    n_dot_p = jnp.sum(n * (a - b), axis=-1)
-    active = (n_dot_p < thickness) & (pt_mask > 0)
-    disp = jnp.where(active, thickness - n_dot_p, 0.0)[:, None] * n
+    def acc_fn(sl):
+        idx = pt_idx[sl]
+        mask = pt_mask[sl]
+        a, b, c, d = gather_cols(positions, idx)
+        n = jnp.cross(c - b, d - b)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        n_dot_p = jnp.sum(n * (a - b), axis=-1)
+        active = (n_dot_p < thickness) & (mask > 0)
+        disp = jnp.where(active, thickness - n_dot_p, 0.0)[:, None] * n
 
-    im = inv_mass[pt_idx]  # [K,4]
-    w_tri = im[:, 1] + im[:, 2] + im[:, 3]
-    w_sum = im[:, 0] + w_tri
-    inv_w = 1.0 / jnp.maximum(w_sum, 1e-20)
-    # Note: each of b, c, d receives the full wTriSum-weighted share
-    # (CollisionConstraint.cpp:152-154) — faithful to the reference.
-    da = disp * (im[:, 0] * inv_w)[:, None]
-    dbcd = -disp * (w_tri * inv_w)[:, None]
+        im = inv_mass[idx]  # [K,4]
+        w_tri = im[:, 1] + im[:, 2] + im[:, 3]
+        w_sum = im[:, 0] + w_tri
+        inv_w = 1.0 / jnp.maximum(w_sum, 1e-20)
+        # Note: each of b, c, d receives the full wTriSum-weighted share
+        # (CollisionConstraint.cpp:152-154) — faithful to the reference.
+        da = disp * (im[:, 0] * inv_w)[:, None]
+        dbcd = -disp * (w_tri * inv_w)[:, None]
 
-    # Count-averaged application: the reference stabilizes sequentially,
-    # re-measuring penetration per constraint, so a node shared by k active
-    # contacts is pushed ~once, not k times (cf. the friction pass note in
-    # solver/pd.py).  Averaging keeps dense piles from overshooting.
-    # One fused scatter op carries all four node columns and the counts
-    # (per-op cost ~2.5 ms on v5e dominates row count).
-    am = active.astype(positions.dtype)[:, None]
-    blk_a = jnp.concatenate([da, am], axis=-1)  # (dx, dy, dz, count)
-    blk_t = jnp.concatenate([dbcd, am], axis=-1)
-    acc = capped_col_scatter(
-        positions.shape[0], 4, pt_idx, [blk_a, blk_t, blk_t, blk_t],
-        jnp.sum(pt_mask),
-    )
+        # Count-averaged application: the reference stabilizes sequentially,
+        # re-measuring penetration per constraint, so a node shared by k
+        # active contacts is pushed ~once, not k times (cf. the friction pass
+        # note in solver/pd.py).  Averaging keeps dense piles from
+        # overshooting.  One fused scatter op carries all four node columns
+        # and the counts (per-op cost ~2.5 ms on v5e dominates row count).
+        am = active.astype(positions.dtype)[:, None]
+        blk_a = jnp.concatenate([da, am], axis=-1)  # (dx, dy, dz, count)
+        blk_t = jnp.concatenate([dbcd, am], axis=-1)
+        ui = jnp.concatenate([blk_a, blk_t, blk_t, blk_t], axis=0)
+        return (
+            jnp.zeros((positions.shape[0], 4), positions.dtype)
+            .at[idx.T.reshape(-1)]
+            .add(ui)
+        )
+
+    # The whole pass (gathers included) runs on the live contact prefix
+    # when few contacts are live — see capped_contact_acc.
+    acc = capped_contact_acc(pt_idx, jnp.sum(pt_mask), acc_fn)
     delta = acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
     return positions + delta, prev_positions + delta

@@ -642,12 +642,13 @@ def _aabb_prefilter_pack(
 
     cnt = jnp.cumsum(overlap.astype(jnp.int32), axis=1)  # [T,B] inclusive
     total = cnt[:, -1]
-    # Source slot of the p-th survivor: count of slots with cnt <= p
-    # (compare-reduce; see grid._rank_and_prev).
+    # The p-th survivor's slot is the unique s with cnt[s] == p+1 and
+    # overlap[s] (one-hot over the candidate axis) — a fused compare-select-
+    # reduce, no take_along_axis gather (measured ~8 ms/tick at stress scale
+    # vs ~2 ms for the select-reduce).
     ps = jnp.arange(narrow, dtype=jnp.int32)[None, None, :]
-    src = jnp.sum((cnt[:, :, None] <= ps).astype(jnp.int32), axis=1)
-    src = jnp.minimum(src, b - 1)
-    packed = jnp.take_along_axis(cand, src, axis=1)
+    onehot = overlap[:, :, None] & (cnt[:, :, None] == ps + 1)
+    packed = jnp.sum(jnp.where(onehot, cand[:, :, None], 0), axis=1)
     packed_valid = ps[0] < jnp.minimum(total, narrow)[:, None]
     return packed, packed_valid
 

@@ -272,24 +272,37 @@ def project_bend(
 def shape_group_moments(
     x: jax.Array, mass: jax.Array, batch: GroupBatch
 ) -> tuple[jax.Array, jax.Array]:
-    """Per-group COM and mass-weighted moment matrix via ``segment_sum``
-    (replacing the accumulation loops at ``ShapeMatchingConstraint.cpp:98-111``).
+    """Per-group COM and mass-weighted moment matrix via ONE fused
+    ``segment_sum`` (replacing the accumulation loops at
+    ``ShapeMatchingConstraint.cpp:98-111``).
 
     COM uses equal weights ``1/count`` (reference quirk: COM is not
     mass-weighted while the moment matrix is).
+
+    The moment is expanded around the origin so it shares the COM's scatter:
+    ``Σ m·(x−com)·matᵀ = Σ m·x·matᵀ − com·(Σ m·mat)ᵀ``.  Everything stays
+    2-D ([M, 15] member columns, [G, …] group columns) — a materialized
+    [M, 3, 3] outer-product buffer tile-pads its minor dims to (8, 128) on
+    TPU (measured 10-40x tax; see PLAN.md cost model), and the previous
+    two-scatter form paid that plus a second ~1.5 ms fixed scatter cost.
     """
     g = batch.num_groups
-    pos = x[batch.node_idx] * batch.member_mask[:, None]
-    com = (
-        jax.ops.segment_sum(pos, batch.group_idx, num_segments=g)
-        * batch.inv_count[:, None]
-    )
-    local = (x[batch.node_idx] - com[batch.group_idx]) * batch.member_mask[:, None]
-    m = mass[batch.node_idx] * batch.member_mask
-    outer = (
-        local[:, :, None] * batch.mat_coords[:, None, :] * m[:, None, None]
-    )  # Σ m·(x−com)(x₀−com₀)ᵀ
-    p = jax.ops.segment_sum(outer, batch.group_idx, num_segments=g)
+    xg = x[batch.node_idx] * batch.member_mask[:, None]  # [M,3]
+    m = mass[batch.node_idx] * batch.member_mask  # [M]
+    mx = m[:, None] * xg  # [M,3]
+    # Columns: pos (3, for COM) | m·x_i·mat_j (9) | m·mat_j (3).
+    cols = [xg]
+    cols += [
+        mx[:, i : i + 1] * batch.mat_coords[:, j : j + 1]
+        for i in range(3)
+        for j in range(3)
+    ]
+    cols.append(m[:, None] * batch.mat_coords)
+    s = jax.ops.segment_sum(
+        jnp.concatenate(cols, axis=-1), batch.group_idx, num_segments=g
+    )  # [G, 15]
+    com = s[:, :3] * batch.inv_count[:, None]
+    p = s[:, 3:12].reshape(g, 3, 3) - com[:, :, None] * s[:, 12:15][:, None, :]
     return com, p
 
 
@@ -316,9 +329,21 @@ def project_shape(
     )
     quats = math3d.extract_rotation(safe_f, quats, rotation_iterations)
     r = math3d.quat_to_mat(quats)
-    rg = r[batch.group_idx]  # [M,3,3]
-    projected = (
-        _einsum("mij,mj->mi", rg, batch.mat_coords) + com[batch.group_idx]
+    # Flat member-side application: gather the 9 rotation entries as one
+    # [M, 9] row gather and combine per column — no [M, 3, 3] intermediate
+    # (tile-pads 10-40x; see shape_group_moments).
+    rg9 = r.reshape(r.shape[0], 9)[batch.group_idx]  # [M,9]
+    mat = batch.mat_coords
+    comg = com[batch.group_idx]
+    projected = jnp.stack(
+        [
+            rg9[:, 3 * i + 0] * mat[:, 0]
+            + rg9[:, 3 * i + 1] * mat[:, 1]
+            + rg9[:, 3 * i + 2] * mat[:, 2]
+            + comg[:, i]
+            for i in range(3)
+        ],
+        axis=-1,
     )
     return projected, quats
 
@@ -327,7 +352,16 @@ def project_goal(batch: GroupBatch) -> jax.Array:
     """Goal-matching projection (``ShapeMatchingConstraint.cpp:162-173``):
     ``p = T · (mat, 1)`` with the per-group 4x4 transform updated by the host
     (``updateFixedRegions``, ``PrimitiveUtilities.cpp:114-128``)."""
-    t = batch.transforms[batch.group_idx]  # [M,4,4]
-    rot = t[:, :3, :3]
-    trans = t[:, :3, 3]
-    return _einsum("mij,mj->mi", rot, batch.mat_coords) + trans
+    g = batch.transforms.shape[0]
+    t16 = batch.transforms.reshape(g, 16)[batch.group_idx]  # [M,16] flat
+    mat = batch.mat_coords
+    return jnp.stack(
+        [
+            t16[:, 4 * i + 0] * mat[:, 0]
+            + t16[:, 4 * i + 1] * mat[:, 1]
+            + t16[:, 4 * i + 2] * mat[:, 2]
+            + t16[:, 4 * i + 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )

@@ -98,7 +98,8 @@ def local_step(
         x, mass, quats, topo.shape, rotation_iterations
     )
     pt_proj, pt_delta = project_point_tri(
-        x, colls.pt_idx, thickness, build_stack=pt_full
+        x, colls.pt_idx, thickness, build_stack=pt_full,
+        pt_count=jnp.sum(colls.pt_mask),
     )
     z043 = jnp.zeros((0, 4, 3), x.dtype)
     z12 = jnp.zeros((0, 12), x.dtype)

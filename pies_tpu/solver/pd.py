@@ -273,50 +273,56 @@ def _point_tri_friction(
 ) -> jax.Array:
     """Point-triangle friction + restitution pass (``Solver.cpp:431-471``),
     Jacobi-accumulated instead of sequential in-place."""
-    from ..collision.batches import gather_cols
+    from ..collision.batches import capped_contact_acc, gather_cols
 
-    idx = colls.pt_idx
-    pa, pb, pc, pd_ = gather_cols(x, idx)
-    va, vb, vc, vd = gather_cols(vel, idx)
-    im = inv_mass[idx]
+    def acc_fn(sl):
+        idx = colls.pt_idx[sl]
+        mask = colls.pt_mask[sl]
+        pa, pb, pc, pd_ = gather_cols(x, idx)
+        va, vb, vc, vd = gather_cols(vel, idx)
+        im = inv_mass[idx]
 
-    avg_tri_vel = (vb + vc + vd) / 3.0
-    n = jnp.cross(pc - pb, pd_ - pb)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    rel = va - avg_tri_vel
-    v_dot_n = jnp.sum(rel * n, axis=-1)
-    perp = rel - v_dot_n[:, None] * n
+        avg_tri_vel = (vb + vc + vd) / 3.0
+        n = jnp.cross(pc - pb, pd_ - pb)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        rel = va - avg_tri_vel
+        v_dot_n = jnp.sum(rel * n, axis=-1)
+        perp = rel - v_dot_n[:, None] * n
 
-    friction = jnp.where(
-        jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold,
-        1.0,
-        params.friction,
-    )
-    tri_w = im[:, 1] + im[:, 2] + im[:, 3]
-    w_sum = jnp.maximum(im[:, 0] + tri_w, 1e-20)
-    dv = (
-        -friction[:, None] * perp
-        - 1.1 * jnp.minimum(v_dot_n, 0.0)[:, None] * n
-    ) * colls.pt_mask[:, None]
+        friction = jnp.where(
+            jnp.linalg.norm(perp, axis=-1) < params.static_friction_threshold,
+            1.0,
+            params.friction,
+        )
+        tri_w = im[:, 1] + im[:, 2] + im[:, 3]
+        w_sum = jnp.maximum(im[:, 0] + tri_w, 1e-20)
+        dv = (
+            -friction[:, None] * perp
+            - 1.1 * jnp.minimum(v_dot_n, 0.0)[:, None] * n
+        ) * mask[:, None]
 
-    # The reference applies these impulses sequentially, recomputing the
-    # relative velocity per constraint (Solver.cpp:431-471): the first
-    # contact neutralizes vDotN and later contacts on the same node are
-    # near-no-ops.  A raw Jacobi sum would apply k restitution kicks to a
-    # node with k contacts and detonate dense piles; count-averaging is the
-    # stable batched equivalent of "first application wins".  All four node
-    # columns + counts ride one fused scatter op.
-    from ..collision.batches import capped_col_scatter
+        # The reference applies these impulses sequentially, recomputing the
+        # relative velocity per constraint (Solver.cpp:431-471): the first
+        # contact neutralizes vDotN and later contacts on the same node are
+        # near-no-ops.  A raw Jacobi sum would apply k restitution kicks to a
+        # node with k contacts and detonate dense piles; count-averaging is
+        # the stable batched equivalent of "first application wins".  All
+        # four node columns + counts ride one fused scatter op.
+        m = mask[:, None]
+        share = -dv * (tri_w / w_sum)[:, None]
+        point = dv * (im[:, 0] / w_sum)[:, None]
+        blk_a = jnp.concatenate([point, m], axis=-1)
+        blk_t = jnp.concatenate([share, m], axis=-1)
+        ui = jnp.concatenate([blk_a, blk_t, blk_t, blk_t], axis=0)
+        return (
+            jnp.zeros((vel.shape[0], 4), vel.dtype)
+            .at[idx.T.reshape(-1)]
+            .add(ui)
+        )
 
-    m = colls.pt_mask[:, None]
-    share = -dv * (tri_w / w_sum)[:, None]
-    point = dv * (im[:, 0] / w_sum)[:, None]
-    blk_a = jnp.concatenate([point, m], axis=-1)
-    blk_t = jnp.concatenate([share, m], axis=-1)
-    acc = capped_col_scatter(
-        vel.shape[0], 4, idx, [blk_a, blk_t, blk_t, blk_t],
-        jnp.sum(colls.pt_mask),
-    )
+    # Whole pass (gathers included) truncates to the live contact prefix
+    # when few contacts are live — see capped_contact_acc.
+    acc = capped_contact_acc(colls.pt_idx, jnp.sum(colls.pt_mask), acc_fn)
     return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
 
 
