@@ -471,6 +471,24 @@ def stabilize_point_tri(
     accumulated and applied at once (deterministic ``scatter-add``), which the
     fidelity suite bounds against the sequential oracle.
     """
+    acc = stabilize_point_tri_acc(
+        positions, inv_mass, pt_idx, pt_mask, thickness
+    )
+    delta = acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
+    return positions + delta, prev_positions + delta
+
+
+def stabilize_point_tri_acc(
+    positions: jax.Array,
+    inv_mass: jax.Array,
+    pt_idx: jax.Array,
+    pt_mask: jax.Array,
+    thickness: jax.Array,
+) -> jax.Array:
+    """The stabilization pass's raw ``[N, 4]`` accumulator (xyz delta sums +
+    contact counts) before count-averaging — the domain-decomposed solver
+    halo-reduces this across slabs before applying (parallel/domain.py)."""
+
     def acc_fn(sl):
         idx = pt_idx[sl]
         mask = pt_mask[sl]
@@ -508,6 +526,4 @@ def stabilize_point_tri(
 
     # The whole pass (gathers included) runs on the live contact prefix
     # when few contacts are live — see capped_contact_acc.
-    acc = capped_contact_acc(pt_idx, jnp.sum(pt_mask), acc_fn)
-    delta = acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
-    return positions + delta, prev_positions + delta
+    return capped_contact_acc(pt_idx, jnp.sum(pt_mask), acc_fn)

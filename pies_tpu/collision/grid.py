@@ -139,17 +139,40 @@ def build_grid(
     # 1M-row gathers (the gathers ran at ~140M rows/s).
     sorted_slots, sorted_items = jax.lax.sort((slot, items), num_keys=1)
 
-    idx = jnp.arange(e, dtype=jnp.int32)
-    is_first = jnp.concatenate(
-        [jnp.ones(1, bool), sorted_slots[1:] != sorted_slots[:-1]]
-    )
-    first_slot = jnp.where(is_first, sorted_slots, h)
-    bucket_start = (
-        jnp.zeros(h + 1, dtype=jnp.int32).at[first_slot].max(idx, mode="drop")
-    )
-    bucket_count = (
-        jnp.zeros(h + 1, dtype=jnp.int32).at[sorted_slots].add(1, mode="drop")
-    )
+    def tables(rows):
+        def fn(_):
+            ss = sorted_slots[:rows]
+            idx = jnp.arange(rows, dtype=jnp.int32)
+            is_first = jnp.concatenate(
+                [jnp.ones(1, bool), ss[1:] != ss[:-1]]
+            )
+            first_slot = jnp.where(is_first, ss, h)
+            bs = jnp.zeros(h + 1, dtype=jnp.int32).at[first_slot].max(
+                idx, mode="drop"
+            )
+            bc = jnp.zeros(h + 1, dtype=jnp.int32).at[ss].add(
+                1, mode="drop"
+            )
+            return bs, bc
+
+        return fn
+
+    # Masked entries (slot = h) sort to the tail, so the table scatters only
+    # need the valid prefix — scatter cost on TPU scales with input rows,
+    # and typical occupancy is 1-3 of the 8 static insertion slots per item.
+    # A two-level lax.cond picks the smallest sufficient prefix at runtime.
+    num_valid = jnp.sum(valid.astype(jnp.int32))
+    if e >= 1 << 17:
+        bucket_start, bucket_count = jax.lax.cond(
+            num_valid <= e // 4,
+            tables(e // 4),
+            lambda _: jax.lax.cond(
+                num_valid <= e // 2, tables(e // 2), tables(e), None
+            ),
+            None,
+        )
+    else:
+        bucket_start, bucket_count = tables(e)(None)
     bucket_count = bucket_count.at[h].set(0)
     if e < (1 << 24):
         packed = bucket_start | (jnp.minimum(bucket_count, 127) << 24)

@@ -21,11 +21,26 @@ constraint to the slab owning its lowest node, and verifies the halo band
 covers every constraint's index spread — constraints never span more than
 two adjacent slabs by construction of the sort.
 
-v1 scope: the full PD constraint stack (distance / position / strain /
-volume / bend / shape / goal) + floor contacts (assigned per *corner owner*,
-so they are exactly local).  The dynamic point-triangle collision pipeline
-is not yet domain-sharded — partition scenes with ``enable_collisions=False``
-semantics (the ensemble path covers collision-heavy multi-scene rollouts).
+v2 scope: the full PD constraint stack (distance / position / strain /
+volume / bend / shape / goal), floor contacts (assigned per *corner owner*,
+so they are exactly local), and the **dynamic point-triangle collision
+pipeline** (``Solver.cpp:680-875``):
+
+* every slab carries a *triangle view* — its owned triangles plus every
+  neighbor triangle fully contained in the halo band — in view-local node
+  coordinates;
+* all view triangles insert into the slab's broadphase grid and serve as
+  candidates, but only *owned* triangles generate contacts
+  (``emit_mask``), so each contact is produced by exactly one slab;
+* contact force/diagonal scatters land on view slots and ride the existing
+  halo reduce; stabilization and friction accumulate their count-averaged
+  deltas over the view and halo-reduce before applying — bitwise the same
+  fixed point as the single-device tick up to f32 summation order;
+* correctness requires the halo band to be wide enough that any
+  spatially-overlapping pair is index-local: the partitioner measures the
+  band's *spatial* width at every slab boundary and raises when it is
+  narrower than ``collision_margin`` (threshold + max triangle extent +
+  per-substep motion slack).
 """
 
 from __future__ import annotations
@@ -93,7 +108,13 @@ class DomainStatic:
     # floor_count carries per-owned-node corner multiplicities over the view,
     # halo slots zero — floor contacts are owner-local by construction, see
     # Solver.cpp:829-834 and the dense-floor note in collision/batches.py).
+    # topo.triangles/tri_mask hold the slab's triangle *view* (owned +
+    # halo-contained neighbors, view-local indices) for the collision
+    # pipeline.
     topo: Topology  # leaves [D, ...]
+    # Owned-triangle mask over the triangle view: only these generate
+    # contacts (each contact produced by exactly one slab).
+    tri_emit_mask: jax.Array  # f32[D, Tv]
 
 
 @dataclass(frozen=True)
@@ -162,12 +183,19 @@ def partition_domain(
     n_slabs: int,
     halo: int | None = None,
     sort_axis: int | None = None,
+    collision_margin: float = 0.0,
 ) -> Domain:
     """Partition a scene into ``n_slabs`` spatial slabs.
 
     Renumbers nodes by a spatial sort along the longest scene axis, sizes the
     halo band from the actual constraint index spreads (unless given), and
     emits per-slab constraint batches in view-local coordinates.
+
+    ``collision_margin`` (world units) sizes the halo for the dynamic
+    collision pipeline: at every slab boundary the halo band must span at
+    least this coordinate width (pass collision threshold + the largest
+    swept triangle extent + per-substep motion slack).  0 partitions for
+    constraint locality only (collisions off).
     """
     pos = np.asarray(state.positions, _F32)
     mask = np.asarray(state.node_mask, _F32)
@@ -243,6 +271,26 @@ def partition_domain(
         return max(0, worst)
 
     need = max(need, group_spread(topo.shape), group_spread(topo.goal))
+    # Triangles must be fully containable in a view (collision pipeline).
+    tri_live = np.asarray(topo.tri_mask) > 0
+    if np.any(tri_live):
+        need = max(
+            need, _needed_halo(tri_idx, np.asarray(topo.tri_mask), block)
+        )
+    # Collision halo: any spatially-overlapping pair must be index-local.
+    # The sort key is the coordinate along sort_axis, so the number of nodes
+    # within `collision_margin` of a slab boundary bounds the index distance
+    # of any cross-boundary contact pair.
+    if collision_margin > 0.0 and np.any(live):
+        key_sorted = np.sort(pos[live][:, sort_axis])
+        for s in range(1, n_slabs):
+            bidx = min(s * block, key_sorted.shape[0] - 1)
+            c = key_sorted[bidx]
+            inside = np.sum(
+                (key_sorted >= c - collision_margin)
+                & (key_sorted <= c + collision_margin)
+            )
+            need = max(need, int(inside))
     if halo is None:
         halo = _round_up(max(need, 8), 8)
     elif need > halo:
@@ -391,6 +439,40 @@ def partition_domain(
     floor_count = np.zeros(total, _F32)
     np.add.at(floor_count, corners[cm], 1.0)
 
+    # --- per-slab triangle views (collision pipeline) ----------------------
+    # A slab's view holds every live triangle fully contained in
+    # [s·block − halo, s·block + block + halo); owned (emitting) triangles
+    # are those whose lowest node the slab owns.
+    tri_rows, emit_rows = [], []
+    if np.any(tri_live):
+        tmin = tri_idx.min(axis=1)
+        tmax = tri_idx.max(axis=1)
+        for s in range(n_slabs):
+            inview = (
+                tri_live
+                & (tmin >= s * block - halo)
+                & (tmax < s * block + block + halo)
+            )
+            owned = inview & (tmin >= s * block) & (tmin < (s + 1) * block)
+            loc = tri_idx[inview] - s * block + halo
+            tri_rows.append(loc.astype(_I32))
+            emit_rows.append(owned[inview].astype(_F32))
+    else:
+        tri_rows = [np.zeros((0, 3), _I32)] * n_slabs
+        emit_rows = [np.zeros((0,), _F32)] * n_slabs
+    tv_cap = _round_up(max(r.shape[0] for r in tri_rows), 8) if any(
+        r.shape[0] for r in tri_rows
+    ) else 0
+    tri_view = _stack_rows(
+        [r.reshape(-1, 3) for r in tri_rows], tv_cap
+    ) if tv_cap else np.zeros((n_slabs, 0, 3), _I32)
+    tri_mask_view = _stack_rows(
+        [np.ones(r.shape[0], _F32) for r in tri_rows], tv_cap
+    ) if tv_cap else np.zeros((n_slabs, 0), _F32)
+    tri_emit = _stack_rows(emit_rows, tv_cap) if tv_cap else np.zeros(
+        (n_slabs, 0), _F32
+    )
+
     # --- node-attribute views ---------------------------------------------
     def window(a: np.ndarray, pad_value=0.0) -> np.ndarray:
         padded = np.concatenate(
@@ -419,8 +501,8 @@ def partition_domain(
         bend=bend,
         shape=shape_b,
         goal=goal_b,
-        triangles=np.zeros((d_axis, 0, 3), _I32),
-        tri_mask=np.zeros((d_axis, 0), _F32),
+        triangles=tri_view,
+        tri_mask=tri_mask_view,
         tri_rep_mask=np.zeros((d_axis, 0), _F32),
         tri_body_count=np.zeros((d_axis, 0), _I32),
         tets=np.zeros((d_axis, 0, 4), _I32),
@@ -453,6 +535,7 @@ def partition_domain(
         mass_own_view=window(mass_own) * _own_window_mask(meta),
         stiffness_diag_own=stiff_own,
         topo=topo_local,
+        tri_emit_mask=tri_emit,
     )
     return Domain(
         meta=meta,
@@ -512,9 +595,11 @@ def _halo_reduce(y_view: jax.Array, meta: DomainMeta) -> jax.Array:
     return own
 
 
-def _domain_pcg(matvec, b_own, x0_own, diag_own, iterations, meta):
+def _domain_pcg(matvec, b_own, x0_own, diag_own, iterations, meta, rtol=0.0):
     """Jacobi-PCG on owned nodes; inner products ``psum`` over the mesh axis
-    (the distributed twin of ``assembly.pcg_solve``)."""
+    (the distributed twin of ``assembly.pcg_solve``, including the
+    deterministic ``rtol`` early exit — trip counts match the single-device
+    solve up to f32 summation order)."""
     ax = meta.axis_name
     inv_diag = (1.0 / diag_own)[:, None]
 
@@ -525,9 +610,10 @@ def _domain_pcg(matvec, b_own, x0_own, diag_own, iterations, meta):
     z = inv_diag * r
     p = z
     rz = dot(r, z)
+    rz0 = rz
 
-    def step(_, carry):
-        x, r, p, rz = carry
+    def step(carry):
+        x, r, p, rz, i = carry
         ap = matvec(p)
         p_ap = dot(p, ap)
         alpha = jnp.where(p_ap > 0, rz / jnp.maximum(p_ap, 1e-30), 0.0)
@@ -537,9 +623,22 @@ def _domain_pcg(matvec, b_own, x0_own, diag_own, iterations, meta):
         rz_new = dot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         p = z + beta * p
-        return x, r, p, rz_new
+        return x, r, p, rz_new, i + 1
 
-    x, r, _, _ = jax.lax.fori_loop(0, iterations, step, (x0_own, r, p, rz))
+    if rtol > 0.0:
+        tol2 = rtol * rtol * rz0
+
+        def cond(carry):
+            _, _, _, rz, i = carry
+            return (i < iterations) & (rz > tol2)
+
+        x, r, _, _, _ = jax.lax.while_loop(
+            cond, step, (x0_own, r, p, rz, jnp.int32(0))
+        )
+    else:
+        x, r, _, _, _ = jax.lax.fori_loop(
+            0, iterations, lambda _, c: step(c), (x0_own, r, p, rz, jnp.int32(0))
+        )
     return x, jnp.sqrt(dot(r, r))
 
 
@@ -580,15 +679,51 @@ def _domain_substep(
     colls = empty_collision_set(pt_cap=0, static_cap=0)
     colls = replace(colls, floor_active=floor_active)
 
+    # Dynamic point-triangle collisions over the slab's triangle view; only
+    # owned triangles emit (tri_emit_mask), so each contact is generated by
+    # exactly one slab.  Contact indices are view-local — their force /
+    # operator / stabilization scatters ride the existing halo reduce.
+    coll_overflow = jnp.asarray(False)
+    if config.enable_collisions and topo.triangles.shape[0] > 0:
+        from ..collision.broadphase import detect_point_tri_collisions
+
+        prev_view = _halo_refresh(prev_own, meta)
+        pt_idx, pt_mask, coll_overflow = detect_point_tri_collisions(
+            x_view,
+            prev_view,
+            topo.triangles,
+            topo.tri_mask,
+            params,
+            config,
+            emit_mask=dstatic_l.tri_emit_mask,
+        )
+        colls = replace(colls, pt_idx=pt_idx, pt_mask=pt_mask)
+
     mass_h2_view = dstatic_l.mass_own_view / h2
     msn_h2_own = x_own * (mass_own / h2)[:, None]
 
     static_diag_view = W_STATIC * floor_count * floor_active
+    pt_diag_view = None
+    if colls.pt_idx.shape[0]:
+        pt_diag_view = assembly.point_tri_collision_diag(
+            colls, meta.view, x_own.dtype
+        )
+        if config.contact_coupling in ("diagonal", "recentered"):
+            static_diag_view = static_diag_view + pt_diag_view
     diag_own = (
         mass_own / h2
         + dstatic_l.stiffness_diag_own
         + static_diag_view[b : b + l]
     )
+    if colls.pt_idx.shape[0]:
+        if config.contact_coupling in ("diagonal", "recentered"):
+            # static_diag_view already carries this slab's pt diagonal; the
+            # preconditioner additionally needs neighbor slabs' contributions
+            # to my owned nodes.
+            halo_part = pt_diag_view.at[b : b + l].set(0.0)
+            diag_own = diag_own + _halo_reduce(halo_part, meta)
+        else:
+            diag_own = diag_own + _halo_reduce(pt_diag_view, meta)
 
     def matvec(v_own):
         v_view = _halo_refresh(v_own, meta)
@@ -616,6 +751,7 @@ def _domain_substep(
             params.floor_height,
             config.rotation_iterations,
             config.reference_quirks,
+            pt_full=(config.contact_coupling == "full"),
         )
         # RHS: M sn/h² on owned slots + constraint AᵀB p over the view.
         msn_view = (
@@ -627,10 +763,13 @@ def _domain_substep(
             topo,
             colls,
             contact_coupling=config.contact_coupling,
+            x=x_view,
+            pt_diag=pt_diag_view,
         )
         f_own = _halo_reduce(f_view, meta)
         x_new, residual = _domain_pcg(
-            matvec, f_own, x_own, diag_own, config.cg_iterations, meta
+            matvec, f_own, x_own, diag_own, config.cg_iterations, meta,
+            rtol=config.cg_rtol,
         )
         x_new = jnp.where(mask_own > 0, x_new, x_own)
         return x_new, local.quats, residual, local.static
@@ -648,18 +787,62 @@ def _domain_substep(
         ),
     )
 
-    # Stabilization: dense floor snap on owned slots.
+    # Stabilization (Solver.cpp:367-383): point-triangle push-out with the
+    # count-averaged accumulator halo-reduced across slabs, then the dense
+    # floor snap on owned slots — the same per-iteration order as the
+    # single-device tick (solver/pd.py).
     if config.collision_stabilization_iterations > 0:
-        x_own = jnp.where(
-            floor_active[b : b + l, None] > 0,
-            static_proj[b : b + l],
-            x_own,
+        from ..collision.batches import stabilize_point_tri_acc
+
+        def stabilize(_, carry):
+            x_own, prev_own = carry
+            if colls.pt_idx.shape[0]:
+                xv = _halo_refresh(x_own, meta)
+                acc = stabilize_point_tri_acc(
+                    xv,
+                    dstatic_l.inv_mass_view,
+                    colls.pt_idx,
+                    colls.pt_mask,
+                    params.collision_thickness,
+                )
+                acc_own = _halo_reduce(acc, meta)
+                delta = acc_own[:, :3] / jnp.maximum(acc_own[:, 3], 1.0)[:, None]
+                x_own = x_own + delta
+                prev_own = prev_own + delta
+            x_own = jnp.where(
+                floor_active[b : b + l, None] > 0,
+                static_proj[b : b + l],
+                x_own,
+            )
+            return x_own, prev_own
+
+        x_own, prev_own = jax.lax.fori_loop(
+            0,
+            config.collision_stabilization_iterations,
+            stabilize,
+            (x_own, prev_own),
         )
 
     vel = (
         (1.0 - params.damping) * (x_own - prev_own) / h
         + h * forces_own * im_own[:, None]
     ) * mask_own
+
+    # Point-triangle friction + restitution (Solver.cpp:431-471): the
+    # count-averaged impulse accumulator halo-reduces across slabs, exactly
+    # like stabilization.  Velocities of halo nodes come from one refresh
+    # (pre-friction values, matching the single-device Jacobi pass).
+    if colls.pt_idx.shape[0]:
+        from ..solver.pd import point_tri_friction_acc
+
+        xv = _halo_refresh(x_own, meta)
+        vv = _halo_refresh(vel, meta)
+        acc = point_tri_friction_acc(
+            xv, vv, dstatic_l.inv_mass_view, colls.pt_idx, colls.pt_mask,
+            params,
+        )
+        acc_own = _halo_reduce(acc, meta)
+        vel = vel + acc_own[:, :3] / jnp.maximum(acc_own[:, 3], 1.0)[:, None]
 
     # Floor friction (Solver.cpp:473-484) per owned node.
     counts = (floor_count * floor_active)[b : b + l]
@@ -674,7 +857,9 @@ def _domain_substep(
     scaled = vel * factor[:, None]
     vel = vel.at[:, 0].set(scaled[:, 0]).at[:, 2].set(scaled[:, 2])
 
-    failed_local = ~jnp.all(jnp.isfinite(x_own))
+    failed_local = jnp.logical_or(
+        ~jnp.all(jnp.isfinite(x_own)), coll_overflow
+    )
     any_failed = (
         jax.lax.psum(failed_local.astype(jnp.int32), meta.axis_name) > 0
     )
@@ -692,6 +877,19 @@ def make_domain_tick(mesh: Mesh, config: StepConfig, meta: DomainMeta):
     """Compile the sharded tick: ``time_substeps`` domain substeps under one
     ``shard_map`` program.  Returns ``tick(dstate, dstatic, params) ->
     (dstate, residual)``."""
+    import dataclasses
+
+    if config.budget.body_stride != 1 or config.body_nodes:
+        # Packed/body-granular broadphase layouts assume the original node
+        # numbering; the spatial renumbering breaks body contiguity, so the
+        # domain tick always runs the general cell-list path.
+        config = dataclasses.replace(
+            config,
+            body_nodes=0,
+            body_node_offset=0,
+            body_faces=(),
+            budget=dataclasses.replace(config.budget, body_stride=1),
+        )
     dspec = jax.tree_util.tree_map(lambda _: P(meta.axis_name), _struct(DomainState))
     sspec = jax.tree_util.tree_map(lambda _: P(meta.axis_name), _struct(DomainStatic))
 

@@ -273,11 +273,28 @@ def _point_tri_friction(
 ) -> jax.Array:
     """Point-triangle friction + restitution pass (``Solver.cpp:431-471``),
     Jacobi-accumulated instead of sequential in-place."""
+    acc = point_tri_friction_acc(
+        x, vel, inv_mass, colls.pt_idx, colls.pt_mask, params
+    )
+    return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
+
+
+def point_tri_friction_acc(
+    x: jax.Array,
+    vel: jax.Array,
+    inv_mass: jax.Array,
+    pt_idx: jax.Array,
+    pt_mask: jax.Array,
+    params: PhysicsParams,
+) -> jax.Array:
+    """The friction pass's raw ``[N, 4]`` accumulator (xyz impulse sums +
+    contact counts) before count-averaging — halo-reduced across slabs by
+    the domain-decomposed solver (parallel/domain.py)."""
     from ..collision.batches import capped_contact_acc, gather_cols
 
     def acc_fn(sl):
-        idx = colls.pt_idx[sl]
-        mask = colls.pt_mask[sl]
+        idx = pt_idx[sl]
+        mask = pt_mask[sl]
         pa, pb, pc, pd_ = gather_cols(x, idx)
         va, vb, vc, vd = gather_cols(vel, idx)
         im = inv_mass[idx]
@@ -322,8 +339,7 @@ def _point_tri_friction(
 
     # Whole pass (gathers included) truncates to the live contact prefix
     # when few contacts are live — see capped_contact_acc.
-    acc = capped_contact_acc(colls.pt_idx, jnp.sum(colls.pt_mask), acc_fn)
-    return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
+    return capped_contact_acc(pt_idx, jnp.sum(pt_mask), acc_fn)
 
 
 def _static_floor_friction(

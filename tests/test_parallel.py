@@ -114,7 +114,16 @@ class TestDomainDecomposition:
     """Spatial slab sharding (parallel/domain.py): a sharded scene must track
     the single-device trajectory to f32 summation-order noise."""
 
-    def _compare(self, build, n_slabs, ticks, atol):
+    def _compare(
+        self,
+        build,
+        n_slabs,
+        ticks,
+        atol,
+        enable_collisions=False,
+        collision_margin=0.0,
+        require_contacts=False,
+    ):
         from jax.sharding import NamedSharding, PartitionSpec as P
         from pies_tpu import Solver
         from pies_tpu.parallel.domain import (
@@ -123,7 +132,10 @@ class TestDomainDecomposition:
             partition_domain,
         )
 
-        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=False)
+        s = Solver(
+            SolverOptions(solver=SolverName.PD),
+            enable_collisions=enable_collisions,
+        )
         build(s)
         s._prepare()
         state0 = jax.tree_util.tree_map(np.asarray, s._state)
@@ -132,12 +144,24 @@ class TestDomainDecomposition:
         config = s._config
         n_live = s._builder.num_nodes
 
+        saw_contacts = False
         for _ in range(ticks):
             s.tick()
+            if require_contacts and not saw_contacts:
+                from pies_tpu.solver.step import default_detect_collisions
+
+                c = default_detect_collisions(
+                    s._state, s._state.positions, s._topology, params, config
+                )
+                saw_contacts = bool(np.sum(np.asarray(c.pt_mask)) > 0)
         ref = s.get_vertices()["position"][:n_live]
         assert not s.sim_failed
+        if require_contacts:
+            assert saw_contacts, "scene never produced point-tri contacts"
 
-        dom = partition_domain(state0, topo0, n_slabs=n_slabs)
+        dom = partition_domain(
+            state0, topo0, n_slabs=n_slabs, collision_margin=collision_margin
+        )
         mesh = ensemble.make_mesh(n_slabs, axis="x")
         sh = NamedSharding(mesh, P("x"))
         put = lambda a: jax.device_put(jnp.asarray(a), sh)
@@ -175,6 +199,38 @@ class TestDomainDecomposition:
                 )
 
         self._compare(build, n_slabs=8, ticks=25, atol=1e-4)
+
+    def test_two_slab_pile_with_collisions(self):
+        # Two tet boxes falling into mutual + floor contact with the contact
+        # zone straddling the slab boundary: the domain-sharded dynamic
+        # collision pipeline (owned-triangle emission, halo-reduced contact
+        # scatters/stabilization/friction) must track the single device.
+        def build(s):
+            # Two colliding pairs; the second pair pads the node count so
+            # the collision halo (every node within `collision_margin` of
+            # the slab boundary) fits inside a block.
+            for x0 in (0.0, 4.5):
+                s.create_tet_box(
+                    (x0, 1.2, 0.0), 1.0, (0, 0, 0), w=1500.0, mass=1.0
+                )
+                s.create_tet_box(
+                    (x0 + 1.4, 2.6, 0.0), 1.0, (0, 0, 0), w=1500.0, mass=1.0
+                )
+
+        # atol is looser than the contact-free tests: psum inner products
+        # round differently from the single-device flat sums (~1e-7), and a
+        # CCD hit can flip on that — one contact-event switch grows to
+        # ~2e-4 over the post-contact ticks.  Contact-free trajectories in
+        # the other tests stay at 1e-4.
+        self._compare(
+            build,
+            n_slabs=2,
+            ticks=45,
+            atol=5e-4,
+            enable_collisions=True,
+            collision_margin=1.3,
+            require_contacts=True,
+        )
 
     def test_halo_too_small_raises(self):
         from pies_tpu import Solver
