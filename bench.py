@@ -83,6 +83,30 @@ def main():
         )
         vs_baseline = particle_iters_per_sec / cpu_piters
 
+    # Roofline context (VERDICT round-2 #7): a static lower-bound estimate
+    # of the HBM traffic one tick MUST move, so achieved-GB/s and the
+    # percentage of the v5e peak (819 GB/s) travel with the steps/s number
+    # and perf gaps are attributable round over round.  Terms follow the
+    # measured per-stage trace in PLAN.md:
+    #   detection: entry sort (~6 passes over 8 B (slot,item) pairs),
+    #   bucket tables, query lookups (S=32) + candidate gathers (B=24),
+    #   prefilter rows (24 B AABB x B), packed CCD pair rows (prev|now of
+    #   m=4 corners = 96 B, read twice);
+    #   PD loop: 4 iterations x (~6 reads + 1 write of [N,3] state) and the
+    #   banded CG applies (7 diagonals + in/out vectors, ~2 effective trips
+    #   with the rtol exit); velocity/floor passes ~4 dense sweeps.
+    n_bodies = n_tets
+    entries = 8 * n_bodies
+    iters_pd = solver.options.iterations
+    bytes_tick = (
+        entries * 8 * 6
+        + n_bodies * (32 * 4 * 3 + 24 * 4 * 4 + 24 * 24 + 8 * 96 * 2)
+        + iters_pd * (7 * n_particles * 12)
+        + iters_pd * 2 * (7 * n_particles * 4 + 2 * n_particles * 12)
+        + 4 * n_particles * 12
+    )
+    tick_s = elapsed / timed_ticks
+    hbm_gbps_est = bytes_tick / tick_s / 1e9
     print(
         json.dumps(
             {
@@ -93,6 +117,9 @@ def main():
                 "particle_iters_per_sec": round(particle_iters_per_sec),
                 "particles": n_particles,
                 "tick_ms": round(1000.0 * elapsed / timed_ticks, 2),
+                "hbm_bytes_per_tick_est": bytes_tick,
+                "hbm_gbps_est": round(hbm_gbps_est, 1),
+                "pct_peak_hbm": round(100.0 * hbm_gbps_est / 819.0, 1),
             }
         )
     )

@@ -29,21 +29,102 @@ def _det3v(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
     return jnp.sum(a * jnp.cross(b, c), axis=-1)
 
 
-def _barycentric_inside(ab, ac, n, ap) -> jax.Array:
-    """Solve ``[ab ac n]·β = ap`` and test the triangle-interior conditions
-    (``CollisionDetection.cpp:249-254,293-298``).
+def _cols(v: jax.Array):
+    """Split a [..., 3] vector array into an (x, y, z) column tuple — the
+    flat structure-of-columns form every [...]-shaped op runs dense on
+    (trailing dim 3 tile-pads to 128 lanes otherwise; see PLAN.md)."""
+    return (v[..., 0], v[..., 1], v[..., 2])
 
-    Solved by Cramer's rule as scalar triple products: no ``[..., 3, 3]``
-    matrices materialize (XLA pads trailing (3, 3) dims to (4, 128) tiles —
-    a measured 57x memory expansion at stress-scene batch sizes)."""
-    det = _det3v(ab, ac, n)
+
+def _cross_c(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot_c(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _det3_c(a, b, c):
+    return _dot_c(a, _cross_c(b, c))
+
+
+def _sub_c(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _lerp_c(a, d, t):
+    return (a[0] + t * d[0], a[1] + t * d[1], a[2] + t * d[2])
+
+
+def _normalize_c(v):
+    inv = 1.0 / jnp.maximum(jnp.sqrt(_dot_c(v, v)), 1e-20)
+    return (v[0] * inv, v[1] * inv, v[2] * inv)
+
+
+def _barycentric_inside_c(ab, ac, n, ap) -> jax.Array:
+    """Solve ``[ab ac n]·β = ap`` and test the triangle-interior conditions
+    (``CollisionDetection.cpp:249-254,293-298``) — Cramer's rule on scalar
+    triple products, column form (no [..., 3, 3] matrices, no [..., 3]
+    intermediates)."""
+    det = _det3_c(ab, ac, n)
     inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-    bx = _det3v(ap, ac, n) * inv_det
-    by = _det3v(ab, ap, n) * inv_det
+    bx = _det3_c(ap, ac, n) * inv_det
+    by = _det3_c(ab, ap, n) * inv_det
     ok = det != 0.0
     return (
         ok & (bx >= 0.0) & (bx <= 1.0) & (by >= 0.0) & (by <= 1.0) & (bx + by <= 1.0)
     )
+
+
+def point_triangle_ccd_cols(
+    ap0, ab0, ac0, ap1, ab1, ac1, threshold
+) -> tuple[jax.Array, jax.Array]:
+    """Column-form ``pointTriangleCCD`` — each argument is an (x, y, z)
+    tuple of [...] arrays.  Every intermediate is [...]-shaped, so the VPU
+    runs full 128-lane rows instead of 3-of-128 padded [..., 3] tiles."""
+    n0 = _normalize_c(_cross_c(ab0, ac0))
+    n1 = _normalize_c(_cross_c(ab1, ac1))
+    ndp0 = _dot_c(n0, ap0)
+    ndp1 = _dot_c(n1, ap1)
+
+    no_cross = ndp0 * ndp1 >= 0.0
+    proximity_hit = (
+        no_cross
+        & (ndp1 >= 0.0)
+        & (ndp1 < threshold)
+        & _barycentric_inside_c(ab1, ac1, n1, ap1)
+    )
+
+    apd = _sub_c(ap1, ap0)
+    abd = _sub_c(ab1, ab0)
+    acd = _sub_c(ac1, ac0)
+    # Coplanarity det(ap(t), ab(t), ac(t)) expanded in t (the six
+    # ``expandTerm`` calls, CollisionDetection.cpp:269-274).
+    c3 = _det3_c(apd, abd, acd)
+    c2 = (
+        _det3_c(ap0, abd, acd)
+        + _det3_c(apd, ab0, acd)
+        + _det3_c(apd, abd, ac0)
+    )
+    c1 = (
+        _det3_c(ap0, ab0, acd)
+        + _det3_c(ap0, abd, ac0)
+        + _det3_c(apd, ab0, ac0)
+    )
+    c0 = _det3_c(ap0, ab0, ac0)
+    t, found = earliest_root_in_unit_interval(c3, c2, c1, c0)
+
+    apt = _lerp_c(ap0, apd, t)
+    abt = _lerp_c(ab0, abd, t)
+    act = _lerp_c(ac0, acd, t)
+    nt = _normalize_c(_cross_c(abt, act))
+    ccd_hit = found & _barycentric_inside_c(abt, act, nt, apt)
+
+    hit = jnp.where(no_cross, proximity_hit, ccd_hit)
+    t_out = jnp.where(no_cross, 0.0, jnp.where(ccd_hit, t, 0.0))
+    return hit, t_out
 
 
 def point_triangle_ccd(
@@ -64,40 +145,15 @@ def point_triangle_ccd(
       it projects inside the triangle;
     * otherwise the coplanarity cubic is solved for the earliest t in [0,1]
       and the barycentric containment is verified at that t.
+
+    Thin wrapper over :func:`point_triangle_ccd_cols` (the slices fuse into
+    the consumers; all math runs in flat column form).
     """
-    n0 = _safe_normalize(jnp.cross(ab0, ac0))
-    n1 = _safe_normalize(jnp.cross(ab1, ac1))
-    ndp0 = jnp.sum(n0 * ap0, axis=-1)
-    ndp1 = jnp.sum(n1 * ap1, axis=-1)
-
-    no_cross = ndp0 * ndp1 >= 0.0
-    proximity_hit = (
-        no_cross
-        & (ndp1 >= 0.0)
-        & (ndp1 < threshold)
-        & _barycentric_inside(ab1, ac1, n1, ap1)
+    hit, t = point_triangle_ccd_cols(
+        _cols(ap0), _cols(ab0), _cols(ac0),
+        _cols(ap1), _cols(ab1), _cols(ac1), threshold,
     )
-
-    apd = ap1 - ap0
-    abd = ab1 - ab0
-    acd = ac1 - ac0
-    # Coplanarity det(ap(t), ab(t), ac(t)) expanded in t (the six
-    # ``expandTerm`` calls, CollisionDetection.cpp:269-274).
-    c3 = _det3v(apd, abd, acd)
-    c2 = _det3v(ap0, abd, acd) + _det3v(apd, ab0, acd) + _det3v(apd, abd, ac0)
-    c1 = _det3v(ap0, ab0, acd) + _det3v(ap0, abd, ac0) + _det3v(apd, ab0, ac0)
-    c0 = _det3v(ap0, ab0, ac0)
-    t, found = earliest_root_in_unit_interval(c3, c2, c1, c0)
-
-    apt = ap0 + t[..., None] * apd
-    abt = ab0 + t[..., None] * abd
-    act = ac0 + t[..., None] * acd
-    nt = _safe_normalize(jnp.cross(abt, act))
-    ccd_hit = found & _barycentric_inside(abt, act, nt, apt)
-
-    hit = jnp.where(no_cross, proximity_hit, ccd_hit)
-    t_out = jnp.where(no_cross, 0.0, jnp.where(ccd_hit, t, 0.0))
-    return hit, t_out
+    return hit, t
 
 
 def _segment_closest_uv(ab, ac, ad, pa=None, pb=None, pc=None, pd=None):

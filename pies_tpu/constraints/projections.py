@@ -45,6 +45,38 @@ def project_distance(x: jax.Array, batch: DistanceBatch) -> jax.Array:
     return jnp.stack([proj0, pb], axis=1)
 
 
+def project_distance_delta(x: jax.Array, batch: DistanceBatch) -> jax.Array:
+    """The PD force path only consumes ``proj[0] − proj[1]``
+    (``AᵀB·p`` reduces to ``0.5·w·(p0 − p1)``, Constraints.cpp:42-47); this
+    flat-column form returns exactly that difference as ``f32[C, 3]`` with
+    no [C, 2, 3] intermediate (tile-pads its (2, 3) minor dims ~20x).
+
+    ``p0 − p1 = (pa − disp·dir) − pb = −(diff + disp·dir)`` with the same
+    asymmetric rule and (1,0,0) degenerate fallback as
+    :func:`project_distance`.
+    """
+    c = batch.idx.shape[0]
+    g = x[batch.idx.T.reshape(-1)]  # [2C, 3] one flat gather
+    dfx = g[c:, 0] - g[:c, 0]
+    dfy = g[c:, 1] - g[:c, 1]
+    dfz = g[c:, 2] - g[:c, 2]
+    dist = jnp.sqrt(dfx * dfx + dfy * dfy + dfz * dfz)
+    safe = dist > 1e-5
+    inv = 1.0 / jnp.maximum(dist, 1e-20)
+    dirx = jnp.where(safe, dfx * inv, 1.0)
+    diry = jnp.where(safe, dfy * inv, 0.0)
+    dirz = jnp.where(safe, dfz * inv, 0.0)
+    disp = batch.rest - dist
+    return jnp.stack(
+        [
+            -(dfx + disp * dirx),
+            -(dfy + disp * diry),
+            -(dfz + disp * dirz),
+        ],
+        axis=-1,
+    )
+
+
 def project_position(batch: PositionBatch) -> jax.Array:
     """Pin to the stored fixed position (``Constraints.cpp:58-63``)."""
     return batch.target

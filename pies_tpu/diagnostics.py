@@ -162,10 +162,45 @@ def broadphase_health(solver) -> dict:
     oversize, latching = counts(
         state.positions, state.prev_positions, topo.triangles, topo.tri_mask
     )
-    return {
+    out = {
         "broadphase_oversize_items": int(oversize),
         "broadphase_latching_items": int(latching),
     }
+
+    # Buffer occupancy vs the static budgets: candidate buffers and the
+    # contact buffer drop overflow gracefully, so without these ratios a
+    # scene drifts toward the budget cliff invisibly (VERDICT round-2 #8).
+    if topo.triangles.shape[0] and cfg.enable_collisions:
+        from functools import partial
+
+        from .collision.broadphase import candidate_occupancy
+        from .solver.step import default_detect_collisions
+
+        cmax, cmean, cap_c = jax.jit(
+            partial(candidate_occupancy, params=params, config=cfg)
+        )(
+            state.positions,
+            state.prev_positions,
+            topo.triangles,
+            topo.tri_mask,
+        )
+        colls = jax.jit(partial(default_detect_collisions, config=cfg))(
+            state, state.positions, topo, params
+        )
+        live_pt = int(jnp.sum(colls.pt_mask))
+        cap_pt = int(colls.pt_idx.shape[0])
+        out.update(
+            {
+                "candidate_count_max": int(cmax),
+                "candidate_count_mean": float(cmean),
+                "candidate_budget": int(cap_c),
+                "candidate_occupancy": float(cmax) / max(cap_c, 1),
+                "pt_contacts_live": live_pt,
+                "pt_contact_cap": cap_pt,
+                "pt_contact_occupancy": live_pt / max(cap_pt, 1),
+            }
+        )
+    return out
 
 
 @contextlib.contextmanager

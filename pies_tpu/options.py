@@ -169,6 +169,11 @@ class StepConfig:
     # (quirk-faithful multi-cell insertion matching the reference's bucket
     # semantics; see collision/broadphase.py).
     broadphase_mode: str = "celllist"
+    # Scenes with at most this many triangles (and no body structure) skip
+    # the sorted grid for a dense [T, T] all-pairs AABB test — the grid's
+    # ~25 fixed-overhead ops dominate tiny ticks, and the all-pairs overlap
+    # set is exact (see broadphase._detect_point_tri_allpairs).
+    allpairs_broadphase_max: int = 1024
     # Element-major layout specializations, set by the host when the builder
     # detects them.  TPU random gathers run ~30M/s and scatters ~9M/s; when
     # a batch's node indices are exactly arange (element-major emission, e.g.

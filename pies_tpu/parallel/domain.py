@@ -510,6 +510,8 @@ def partition_domain(
         stiffness_diag=np.zeros((d_axis, view), _F32),
         tet_band=np.zeros((d_axis, 7, 1), _F32),
         floor_count=window(floor_count) * _own_window_mask(meta),
+        ata_dense=np.zeros((d_axis, 1, 1), _F32),
+        inv_dense=np.zeros((d_axis, 1, 1), _F32),
     )
 
     quats = np.asarray(state.shape_quats, _F32)

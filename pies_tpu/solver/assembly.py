@@ -49,7 +49,7 @@ from ..topology import Topology
 class LocalStep(NamedTuple):
     """All projected auxiliary configurations for one PD iteration."""
 
-    distance: jax.Array  # [Cd, 2, 3]
+    distance: jax.Array  # [Cd, 3]  (p0 − p1; see project_distance_delta)
     position: jax.Array  # [Cp, 3]
     strain: jax.Array  # [Cs, 4, 3] ([0,4,3] when the flat path is active)
     volume: jax.Array  # [Cv, 4, 3]
@@ -131,7 +131,7 @@ def local_step(
             x, colls.static_idx, floor_height, reference_quirks
         )
     return LocalStep(
-        distance=proj.project_distance(x, topo.distance),
+        distance=proj.project_distance_delta(x, topo.distance),
         position=proj.project_position(topo.position),
         strain=strain_p,
         volume=volume_p,
@@ -191,9 +191,7 @@ def assemble_force(
     # Both halves ride one scatter op (per-op cost dominates row count).
     d = topo.distance
     if d.idx.shape[0]:
-        half = 0.5 * d.w[:, None] * (
-            local.distance[:, 0] - local.distance[:, 1]
-        )
+        half = 0.5 * d.w[:, None] * local.distance
         f = f.at[d.idx.T.reshape(-1)].add(
             jnp.concatenate([half, -half], axis=0)
         )
@@ -377,6 +375,13 @@ def apply_system(
             )
     y = (mass_over_h2 + static_diag)[:, None] * x
 
+    if topo.ata_dense.shape[0] == x.shape[0]:
+        # Small-scene dense operator: every static constraint term in ONE
+        # MXU matmul (see Topology.ata_dense) — replaces the gather/scatter
+        # chain below, whose per-op overhead dominates tiny ticks.
+        y = y + _einsum("ij,jd->id", topo.ata_dense, x)
+        return _apply_collision_terms(y, x, topo, colls, contact_coupling)
+
     d = topo.distance
     if d.idx.shape[0]:
         xa = x[d.idx[:, 0]]
@@ -421,6 +426,12 @@ def apply_system(
             wm = grp.w[grp.group_idx] * grp.member_mask
             y = y.at[grp.node_idx].add(wm[:, None] * x[grp.node_idx])
 
+    return _apply_collision_terms(y, x, topo, colls, contact_coupling)
+
+
+def _apply_collision_terms(y, x, topo, colls, contact_coupling):
+    """Dynamic (per-substep) collision blocks of the operator — shared by
+    the dense and gather/scatter static paths."""
     if contact_coupling == "full":
         ata = jnp.asarray(ATA_DIFF4, dtype=x.dtype)
         if colls.pt_idx.shape[0]:
@@ -468,6 +479,7 @@ def pcg_solve(
     diag: jax.Array,
     iterations: int,
     rtol: float = 0.0,
+    inv_dense: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Jacobi-preconditioned CG on the stacked 3-RHS system.
 
@@ -479,11 +491,20 @@ def pcg_solve(
     the trip count varies, and the exit is deterministic (same data → same
     trips).  The returned residual norm feeds the observability counters
     (SURVEY §5).
+
+    ``inv_dense`` replaces the Jacobi preconditioner with the precomputed
+    dense inverse of the collision-free system (``Topology.inv_dense``) —
+    the prefactorized-solve analog of the reference's LLT: exact in one
+    trip on contact-free substeps, 2-3 trips under contact diagonals.
     """
-    inv_diag = (1.0 / diag)[:, None]
+    if inv_dense is not None:
+        precond = lambda r: _einsum("ij,jd->id", inv_dense, r)
+    else:
+        inv_diag = (1.0 / diag)[:, None]
+        precond = lambda r: inv_diag * r
 
     r = b - matvec(x0)
-    z = inv_diag * r
+    z = precond(r)
     p = z
     rz = jnp.sum(r * z)
     rz0 = rz
@@ -495,7 +516,7 @@ def pcg_solve(
         alpha = jnp.where(p_ap > 0, rz / jnp.maximum(p_ap, 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        z = inv_diag * r
+        z = precond(r)
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         p = z + beta * p

@@ -71,6 +71,12 @@ class Solver:
         contact_coupling: str = "recentered",
         budget: CollisionBudget | None = None,
         node_capacity: int | None = None,
+        # Scenes up to this capacity get the dense prefactorized operator +
+        # inverse preconditioner (Topology.ata_dense/inv_dense): tiny ticks
+        # are bound by per-op/while-trip overhead, and the [N, N] matmul
+        # form converges CG in 1-3 trips (the reference's LLT structure,
+        # Solver.cpp:212-215).  0 disables.
+        dense_operator_max: int = 1024,
     ):
         self._options = options or SolverOptions()
         self._builder = SceneBuilder(seed=seed)
@@ -86,6 +92,7 @@ class Solver:
         self._broadphase_cell = 1.0
         self._budget = budget
         self._node_capacity = node_capacity
+        self._dense_operator_max = dense_operator_max
 
         self._state: SolverState | None = None
         self._topology = None
@@ -344,6 +351,47 @@ class Solver:
         # One batched transfer for the whole scene (state + topology):
         # per-array uploads through a remote-TPU tunnel measured ~5s each.
         self._state, self._topology = jax.device_put((self._state, topology))
+
+        # Small-scene prefactorization (Topology.ata_dense/inv_dense): the
+        # TPU-native analog of the reference's SimplicialLLT prefactorization
+        # (Solver.cpp:212-215).  Built once per topology change, like the
+        # reference's lazy re-precompute on node-count change.
+        has_offdiag = any(
+            b.idx.shape[0]
+            for b in (batches["distance"], batches["strain"],
+                      batches["volume"], batches["bend"])
+        )
+        if cap <= self._dense_operator_max and has_offdiag:
+            from ..collision.batches import empty_collision_set
+            from . import assembly
+
+            eye = jnp.eye(cap, dtype=jnp.float32)
+            zeros = jnp.zeros(cap, jnp.float32)
+            ata = assembly.apply_system(
+                eye,
+                zeros,
+                self._topology,
+                empty_collision_set(),
+                strain_contiguous=False,
+                volume_contiguous=False,
+                static_diag=zeros,
+            )
+            h = self._options.fixed_timestep_size / max(
+                1, self._options.time_substeps
+            )
+            m_h2 = np.asarray(self._state.mass) / (h * h)
+            try:
+                inv = np.linalg.inv(
+                    np.asarray(ata, np.float64) + np.diag(m_h2)
+                ).astype(_F32)
+            except np.linalg.LinAlgError:
+                inv = None  # singular (massless unconstrained node): skip
+            if inv is not None and np.all(np.isfinite(inv)):
+                self._topology = dataclasses.replace(
+                    self._topology,
+                    ata_dense=jnp.asarray(np.asarray(ata)),
+                    inv_dense=jnp.asarray(inv),
+                )
 
         budget = self._budget or self._auto_budget(positions, tris, bodies)
 

@@ -118,9 +118,14 @@ def pd_substep(
             x=x,
             pt_diag=pt_diag,
         )
+        inv_dense = (
+            topo.inv_dense
+            if topo.inv_dense.shape[0] == x.shape[0]
+            else None
+        )
         x_new, residual = assembly.pcg_solve(
             lambda v: matvec(v), force, x, diag, config.cg_iterations,
-            rtol=config.cg_rtol,
+            rtol=config.cg_rtol, inv_dense=inv_dense,
         )
         # Padded nodes solve exactly to their park position; re-select to
         # remove CG truncation noise.
@@ -173,23 +178,51 @@ def pd_substep(
             )
         return x, prev
 
-    x, prev = jax.lax.fori_loop(
-        0, config.collision_stabilization_iterations, stabilize, (x, prev)
-    )
-
-    # Velocity update (Solver.cpp:386-395).
-    vel = (
-        (1.0 - params.damping) * (x - prev) / h
-        + h * state.forces * state.inv_mass[:, None]
-    ) * mask
-
+    # Contact-activity predicate: stabilization and the contact friction
+    # passes are exact no-ops when nothing is in contact, but their gathers,
+    # scatters and loop trips still cost ~1 ms/tick on small scenes.  One
+    # lax.cond skips them wholesale (detection above still ran, so the
+    # predicate is this substep's truth).
+    n_contacts = jnp.sum(colls.pt_mask)
+    if colls.floor_active.shape[0]:
+        n_floor = jnp.sum(colls.floor_active)
+    else:
+        n_floor = jnp.sum(colls.static_mask)
+    any_contact = (n_contacts + n_floor) > 0
+    if config.enable_edge_collisions:
+        any_contact = any_contact | (jnp.sum(colls.edge_mask) > 0)
     if colls.nn_idx.shape[0]:
-        vel = _node_node_friction(
-            x, vel, state.inv_mass, state.radius, colls, params
+        any_contact = any_contact | (jnp.sum(colls.nn_mask) > 0)
+
+    def contact_passes(op):
+        x, prev = op
+        x, prev = jax.lax.fori_loop(
+            0, config.collision_stabilization_iterations, stabilize, (x, prev)
         )
-    vel = _point_tri_friction(x, vel, state.inv_mass, colls, params)
-    vel = _static_floor_friction(
-        vel, colls, params, state.capacity, topo.floor_count
+        vel = (
+            (1.0 - params.damping) * (x - prev) / h
+            + h * state.forces * state.inv_mass[:, None]
+        ) * mask
+        if colls.nn_idx.shape[0]:
+            vel = _node_node_friction(
+                x, vel, state.inv_mass, state.radius, colls, params
+            )
+        vel = _point_tri_friction(x, vel, state.inv_mass, colls, params)
+        vel = _static_floor_friction(
+            vel, colls, params, state.capacity, topo.floor_count
+        )
+        return x, prev, vel
+
+    def free_passes(op):
+        x, prev = op
+        vel = (
+            (1.0 - params.damping) * (x - prev) / h
+            + h * state.forces * state.inv_mass[:, None]
+        ) * mask
+        return x, prev, vel
+
+    x, prev, vel = jax.lax.cond(
+        any_contact, contact_passes, free_passes, (x, prev)
     )
 
     new_state = replace(

@@ -172,6 +172,17 @@ class Topology:
     # multiply instead of a T·3-row scatter in every force/diag/stabilize
     # pass (the measured hot spot at stress scale).
     floor_count: jax.Array  # f32[N]
+    # Small-scene prefactorization (the TPU-native analog of the reference's
+    # SimplicialLLT prefactorization, Solver.cpp:212-215): the dense
+    # constraint operator Σ w·AᵀA as one [N, N] matrix, and the inverse of
+    # (M/h² + Σ w·AᵀA) used as the CG preconditioner.  With the exact
+    # inverse of the collision-free system, CG converges in ONE trip on
+    # contact-free substeps and 2-3 with contacts — tiny scenes are bound by
+    # while-loop trip overhead (~50 µs/trip), not FLOPs, and a [N≤1k, N]
+    # matmul is ~free on the MXU.  [1, 1] placeholders when disabled
+    # (host._prepare fills them for capacities ≤ dense_operator_max).
+    ata_dense: jax.Array  # f32[N, N] or f32[1, 1]
+    inv_dense: jax.Array  # f32[N, N] or f32[1, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -490,5 +501,7 @@ def assemble_topology(
         stiffness_diag=np.asarray(diag.astype(_F32)),
         tet_band=np.asarray(tet_band),
         floor_count=np.asarray(floor_count),
+        ata_dense=np.zeros((1, 1), _F32),
+        inv_dense=np.zeros((1, 1), _F32),
         **fields,
     )

@@ -416,12 +416,24 @@ class TestOverflowBehavior:
             np.concatenate([pos, np.asarray(state.positions)[6:]], 0)
         )
         params = mk(SolverOptions(), broadphase_cell=2.0)
-        cfg = StepConfig(solver=SolverName.PD)
+        # Force the grid path: the small-scene all-pairs broadphase has no
+        # size cap (it tests every AABB pair exactly), so only the grid
+        # path carries the latch.
+        cfg = StepConfig(solver=SolverName.PD, allpairs_broadphase_max=0)
         _, _, overflow = detect_point_tri_collisions(
             full, full, jnp.asarray(tris),
             jnp.asarray(np.ones(2, np.float32)), params, cfg,
         )
         assert bool(overflow)
+
+        # The all-pairs path (default for tiny scenes) handles the same
+        # oversized item exactly — no latch.
+        cfg2 = StepConfig(solver=SolverName.PD)
+        _, _, overflow2 = detect_point_tri_collisions(
+            full, full, jnp.asarray(tris),
+            jnp.asarray(np.ones(2, np.float32)), params, cfg2,
+        )
+        assert not bool(overflow2)
 
 
 class TestPDNodeNodeCollisions:

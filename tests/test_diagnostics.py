@@ -119,3 +119,37 @@ class TestEdgeEdgeCCD:
         assert not bool(np.asarray(hit_quirk)[0])
         assert bool(np.asarray(hit_fixed)[0])
         assert float(np.asarray(t_fixed)[0]) == 1.0
+
+
+class TestBudgetObservability:
+    def test_budget_cliff_visible(self):
+        # Drive a scene to the contact-budget cliff: the static contact
+        # buffer saturates, the excess drops GRACEFULLY (no latch), and the
+        # occupancy counters make the cliff visible (VERDICT round-2 #8 —
+        # "overflow is graceful but invisible until it latches").
+        from pies_tpu.options import CollisionBudget
+
+        s = Solver(
+            SolverOptions(solver=SolverName.PD),
+            enable_collisions=True,
+            budget=CollisionBudget(
+                max_cells_per_tri=32,
+                max_entries_per_cell=32,
+                max_candidates_per_tri=96,
+                max_narrow_candidates=16,
+                max_point_tri_contacts=8,
+            ),
+        )
+        # Overlapping tet soup: spacing below the tet size forces many
+        # point-triangle proximity hits immediately.
+        s.create_tet_soup(12, spacing=0.9, scale=0.8, w=2000.0, height=0.3)
+        for _ in range(6):
+            s.tick()
+        assert not s.sim_failed  # graceful drop, no latch
+        h = diagnostics.broadphase_health(s)
+        assert h["pt_contact_cap"] == 8
+        assert h["pt_contact_occupancy"] == 1.0, h  # the cliff, visible
+        assert h["candidate_count_max"] >= 1
+        # Occupancy > 1 means demand EXCEEDS the candidate budget (the
+        # overflow factor); this compressed soup should overshoot it.
+        assert h["candidate_occupancy"] > 1.0
