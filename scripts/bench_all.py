@@ -117,6 +117,44 @@ def main():
     s.add_nodes(pts)
     rows.append(result("pbd_node_pile", npts, time_ticks(s, warmup, ticks), 4))
 
+    # Config 4c: mixed-body contact scene (cloth sheet falling onto a tet
+    # soup).  Mixed scenes have no uniform body stride, so detection runs
+    # the per-triangle cell-list path; this row measures its per-triangle
+    # throughput against the packed-body soup rows (VERDICT round-2 #9:
+    # "within 2x of the pure-soup path's per-triangle throughput").
+    n_tets_mix = 32 if small else 12_500
+    s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+    s.create_tet_soup(n_tets_mix, spacing=1.6, scale=0.8, w=2000.0,
+                      height=0.5, jitter=0.05)
+    side = int(np.ceil((n_tets_mix * 1.6 ** 3) ** (1 / 3)))
+    sheet_n = 4 if small else 48
+    # An unpinned cloth: distance-constrained lattice dropped onto the soup.
+    sx = np.linspace(-side * 0.4, side * 0.4, sheet_n, dtype=np.float32)
+    gx, gz = np.meshgrid(sx, sx, indexing="ij")
+    pts = np.stack([gx, np.full_like(gx, 3.2), gz], -1).reshape(-1, 3)
+    ids = s._builder._emit_nodes(pts, inv_mass=1.0, radius=0.25)
+    g = ids.reshape(sheet_n, sheet_n)
+    pairs = np.concatenate([
+        np.stack([g[:-1, :].ravel(), g[1:, :].ravel()], 1),
+        np.stack([g[:, :-1].ravel(), g[:, 1:].ravel()], 1),
+        np.stack([g[:-1, :-1].ravel(), g[1:, 1:].ravel()], 1),
+    ])
+    s._builder._emit_distance(pairs, 4000.0)
+    tris = np.concatenate([
+        np.stack([g[:-1, :-1].ravel(), g[1:, :-1].ravel(), g[1:, 1:].ravel()], 1),
+        np.stack([g[:-1, :-1].ravel(), g[1:, 1:].ravel(), g[:-1, 1:].ravel()], 1),
+    ])
+    s._builder._emit_triangles(tris)
+    s._dirty = True
+    s._prepare()
+    n_tris = int(np.concatenate(s._builder.triangles).shape[0])
+    sps = time_ticks(s, warmup, ticks)
+    rows.append(result(
+        "mixed_cloth_over_soup", s._builder.num_nodes, sps, 4,
+        {"tris": n_tris,
+         "tri_ticks_per_sec": round(sps * n_tris)},
+    ))
+
     # Config 5a: the 500k stress soup is bench.py's headline line (run that
     # separately).  Config 5b here: 64-scene vmapped ensemble rollout.
     n_scenes = 4 if small else 64

@@ -151,3 +151,38 @@ class TestSurfaceSnap:
         assert abs(enclosed(p_snap, tets) - true_vol) < abs(
             enclosed(p_raw, tets) - true_vol
         )
+
+
+class TestMeshQuality:
+    def _sphere(self, n=12):
+        return TestSurfaceSnap._sphere(TestSurfaceSnap(), n)
+
+    def test_quality_bounds_after_snap(self):
+        # The guarded snap must keep element quality bounded: tetgen's q
+        # contract is radius-edge <= 1.5 on arbitrary geometry
+        # (PrimitiveUtilities.cpp:229); the lattice mesher's contract is
+        # exact lattice quality inside + volume-floored degradation at the
+        # boundary (snap_boundary_to_surface docstring documents the gap).
+        v, f = self._sphere(12)
+        p, tets, surf = tetmesh.tetrahedralize(v, f, resolution=8)
+        q = tetmesh.tet_quality(p, tets)
+        assert q["num_tets"] > 100
+        # Unsnapped lattice tets score radius-edge ~0.72; the 0.3 volume
+        # floor keeps the worst boundary element within a small multiple.
+        assert q["radius_edge_max"] < 3.0, q
+        assert q["dihedral_min_deg"] > 8.0, q
+        assert q["volume_min_ratio"] > 0.25, q
+
+    def test_volume_floor_respected(self):
+        v, f = self._sphere(10)
+        p_raw, tets, surf = tetmesh.tetrahedralize(
+            v, f, resolution=7, snap_surface=False
+        )
+        p_snap = tetmesh.snap_boundary_to_surface(
+            p_raw, tets, surf, v, f, min_volume_ratio=0.3
+        )
+        vol0 = np.abs(tetmesh._tet_volumes(p_raw, tets))
+        vol1 = np.abs(tetmesh._tet_volumes(p_snap, tets))
+        # Every tet keeps >= ~30% of its lattice volume (full-revert
+        # fallback restores 100%, so the bound is one-sided).
+        assert np.all(vol1 >= 0.299 * vol0), float((vol1 / vol0).min())
