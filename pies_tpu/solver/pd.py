@@ -89,48 +89,50 @@ def pd_substep(
         contact_coupling=config.contact_coupling,
     )
 
-    def iteration(_, carry):
-        x, quats, residual, _ = carry
-        local = assembly.local_step(
-            x,
-            state.inv_mass,
-            state.mass,
-            quats,
-            topo,
-            colls,
-            params.collision_thickness,
-            params.floor_height,
-            config.rotation_iterations,
-            config.reference_quirks,
-            config.strain_contiguous,
-            config.volume_contiguous,
-            radius=state.radius,
-            pt_full=(config.contact_coupling == "full"),
-        )
-        force = assembly.assemble_force(
-            msn_h2,
-            local,
-            topo,
-            colls,
-            config.strain_contiguous,
-            config.volume_contiguous,
-            contact_coupling=config.contact_coupling,
-            x=x,
-            pt_diag=pt_diag,
-        )
-        inv_dense = (
-            topo.inv_dense
-            if topo.inv_dense.shape[0] == x.shape[0]
-            else None
-        )
-        x_new, residual = assembly.pcg_solve(
-            lambda v: matvec(v), force, x, diag, config.cg_iterations,
-            rtol=config.cg_rtol, inv_dense=inv_dense,
-        )
-        # Padded nodes solve exactly to their park position; re-select to
-        # remove CG truncation noise.
-        x_new = jnp.where(mask > 0, x_new, x)
-        return x_new, local.quats, residual, local.static
+    inv_dense = (
+        topo.inv_dense if topo.inv_dense.shape[0] == x.shape[0] else None
+    )
+
+    def make_iteration(colls_it, pt_diag_it):
+        def iteration(_, carry):
+            x, quats, residual, _ = carry
+            local = assembly.local_step(
+                x,
+                state.inv_mass,
+                state.mass,
+                quats,
+                topo,
+                colls_it,
+                params.collision_thickness,
+                params.floor_height,
+                config.rotation_iterations,
+                config.reference_quirks,
+                config.strain_contiguous,
+                config.volume_contiguous,
+                radius=state.radius,
+                pt_full=(config.contact_coupling == "full"),
+            )
+            force = assembly.assemble_force(
+                msn_h2,
+                local,
+                topo,
+                colls_it,
+                config.strain_contiguous,
+                config.volume_contiguous,
+                contact_coupling=config.contact_coupling,
+                x=x,
+                pt_diag=pt_diag_it,
+            )
+            x_new, residual = assembly.pcg_solve(
+                lambda v: matvec(v), force, x, diag, config.cg_iterations,
+                rtol=config.cg_rtol, inv_dense=inv_dense,
+            )
+            # Padded nodes solve exactly to their park position; re-select
+            # to remove CG truncation noise.
+            x_new = jnp.where(mask > 0, x_new, x)
+            return x_new, local.quats, residual, local.static
+
+        return iteration
 
     static_rows = (
         state.capacity
@@ -138,12 +140,38 @@ def pd_substep(
         else colls.static_idx.shape[0]
     )
     static_proj0 = jnp.zeros((static_rows, 3), dtype=x.dtype)
-    x, quats, residual, static_proj = jax.lax.fori_loop(
-        0,
-        config.iterations,
-        iteration,
-        (x, state.shape_quats, jnp.asarray(0.0, x.dtype), static_proj0),
-    )
+    carry0 = (x, state.shape_quats, jnp.asarray(0.0, x.dtype), static_proj0)
+
+    def run_iters(colls_it, pt_diag_it):
+        def fn(carry):
+            return jax.lax.fori_loop(
+                0, config.iterations, make_iteration(colls_it, pt_diag_it),
+                carry,
+            )
+
+        return fn
+
+    if colls.pt_idx.shape[0] and config.contact_coupling != "full":
+        # When no point-tri contact is live this substep, run the PD loop
+        # with the pt machinery statically removed (zero-size batch): the
+        # per-iteration pt projection + force blocks are exact no-ops but
+        # cost ~6 fixed-overhead ops each — a dominant PD-loop cost on
+        # small contact-free ticks.  The operator is unchanged: with
+        # recentered coupling, contacts enter it only through static_diag,
+        # whose DATA is already zero when nothing is live.
+        colls_free = replace(
+            colls,
+            pt_idx=jnp.zeros((0, 4), jnp.int32),
+            pt_mask=jnp.zeros((0,), colls.pt_mask.dtype),
+        )
+        x, quats, residual, static_proj = jax.lax.cond(
+            jnp.sum(colls.pt_mask) > 0,
+            run_iters(colls, pt_diag),
+            run_iters(colls_free, jnp.zeros_like(pt_diag)),
+            carry0,
+        )
+    else:
+        x, quats, residual, static_proj = run_iters(colls, pt_diag)(carry0)
     # ``static_proj`` is the final local step's static projection — the
     # reference's stabilization snaps to this stale ``projectedPosition``
     # (computed before the last global solve, Solver.cpp:306-308,379-382).
