@@ -244,6 +244,114 @@ def _rank_and_prev(offsets: jax.Array, budget: int, start: jax.Array):
     return start_of_b, prev_off
 
 
+def query_buckets(
+    grid: HashGrid,
+    query_coords: jax.Array,  # i32[M, S, 3] cells each item queries
+    query_valid: jax.Array,  # bool[M, S]
+    per_cell_cap: int,
+    hard_cap: int = 1000,
+):
+    """Bucket (start, count) lookups for every queried cell, width-adaptive.
+
+    The static query width ``S`` is sized for the worst case (fast-moving
+    items covering many cells) but the *live* width — the highest valid slot
+    index across all rows this tick — is typically a quarter of it for
+    settled scenes.  Table-lookup cost on TPU is HBM traffic of the one-hot
+    row selects (~128·4 B per lookup), so a two-level ``lax.cond`` runs the
+    lookups at the smallest sufficient width and pads the (start, count)
+    tables back to ``S`` with empty cells.  The predicate uses the highest
+    valid *index* (not the count), so rows whose valid mask is not a prefix
+    truncate losslessly too.
+
+    Returns ``(start i32[M,S], offsets i32[M,S] inclusive, total i32[M],
+    overflow bool[M])``.
+    """
+    m, s, _ = query_coords.shape
+    h = grid.num_slots
+    slot = (
+        cell_hash(
+            query_coords[..., 0], query_coords[..., 1], query_coords[..., 2]
+        )
+        & jnp.uint32(h - 1)
+    ).astype(jnp.int32)
+    slot = jnp.where(query_valid, slot, h)
+
+    def lookup(s_eff):
+        def fn(_):
+            sl = slot[:, :s_eff]
+            if grid.bucket_start is None:
+                packed = _lookup_i32(grid.bucket_table, sl)
+                st = packed & ((1 << 24) - 1)
+                ct = packed >> 24  # saturated at 127
+                # The reference latches at >1000 entries/bucket; the packed
+                # table saturates counts at 127, so the latch fires at >=127
+                # — stricter, but only for absurd densities (per-cell use
+                # caps are <=32).
+                cell_over = ct >= 127
+            else:
+                st = grid.bucket_start[sl]
+                ct = grid.bucket_count[sl]
+                cell_over = ct > hard_cap
+            ct = jnp.minimum(ct, per_cell_cap)
+            over = jnp.any(cell_over, axis=-1)
+            if s_eff < s:
+                pad = ((0, 0), (0, s - s_eff))
+                st = jnp.pad(st, pad)
+                ct = jnp.pad(ct, pad)
+            return st, ct, over
+
+        return fn
+
+    if s >= 16:
+        # Highest live slot index this tick: truncating to any width above
+        # it drops only invalid (empty) cells.
+        width = jnp.max(
+            jnp.where(query_valid, jnp.arange(s, dtype=jnp.int32)[None, :], -1)
+        ) + 1
+        start, count, overflow = jax.lax.cond(
+            width <= s // 4,
+            lookup(s // 4),
+            lambda _: jax.lax.cond(
+                width <= s // 2, lookup(s // 2), lookup(s), None
+            ),
+            None,
+        )
+    else:
+        start, count, overflow = lookup(s)(None)
+
+    offsets = jnp.cumsum(count, axis=-1)  # [M,S] inclusive
+    total = offsets[:, -1]
+    overflow = overflow | (total > hard_cap)
+    return start, offsets, total, overflow
+
+
+def gather_entries(
+    grid: HashGrid,
+    start: jax.Array,  # i32[M, S] bucket starts (from query_buckets)
+    offsets: jax.Array,  # i32[M, S] inclusive cumulative counts
+    total: jax.Array,  # i32[M]
+    budget: int,
+):
+    """Gather up to ``budget`` candidate items per query row from the sorted
+    entry table, ranges packed back-to-back so the budget is spent only on
+    occupied cells.  Fixed width — callers pick ``budget`` (possibly under a
+    ``lax.cond`` keyed on ``max(min(total, B))``) and pad if needed.
+
+    Returns ``(candidates i32[M, budget], cand_valid bool[M, budget])``.
+    """
+    m = start.shape[0]
+    b = jnp.broadcast_to(
+        jnp.arange(budget, dtype=jnp.int32)[None, :], (m, budget)
+    )
+    start_of_b, prev_off = _rank_and_prev(offsets, budget, start)
+    within = b - prev_off
+    entry = start_of_b + within
+    cand_valid = b < jnp.minimum(total, budget)[:, None]
+    entry = jnp.clip(entry, 0, grid.sorted_items.shape[0] - 1)
+    candidates = _lookup_i32(grid.sorted_items, entry)
+    return candidates, cand_valid
+
+
 def gather_candidates(
     grid: HashGrid,
     query_coords: jax.Array,  # i32[M, S, 3] cells each item queries
@@ -264,42 +372,33 @@ def gather_candidates(
     failure semantics (it only latches ``_simFailed`` when a bucket exceeds
     1000 entries or a sweep touches 1000 buckets, ``Solver.cpp:741-755``).
 
+    Both the cell-lookup width and the entry-gather width adapt to the live
+    tick via two-level ``lax.cond``s (see ``query_buckets``); outputs keep
+    the static ``budget`` width.
+
     Returns ``(candidates i32[M, budget], cand_valid bool[M, budget],
     overflow bool[M])``.
     """
-    m, s, _ = query_coords.shape
-    h = grid.num_slots
-    slot = (
-        cell_hash(
-            query_coords[..., 0], query_coords[..., 1], query_coords[..., 2]
+    start, offsets, total, overflow = query_buckets(
+        grid, query_coords, query_valid, per_cell_cap, hard_cap
+    )
+
+    def entries(b_eff):
+        def fn(_):
+            cand, valid = gather_entries(grid, start, offsets, total, b_eff)
+            if b_eff < budget:
+                pad = ((0, 0), (0, budget - b_eff))
+                cand = jnp.pad(cand, pad)
+                valid = jnp.pad(valid, pad)
+            return cand, valid
+
+        return fn
+
+    if budget >= 16:
+        max_total = jnp.max(jnp.minimum(total, budget))
+        candidates, cand_valid = jax.lax.cond(
+            max_total <= budget // 2, entries(budget // 2), entries(budget), None
         )
-        & jnp.uint32(h - 1)
-    ).astype(jnp.int32)
-    slot = jnp.where(query_valid, slot, h)
-
-    if grid.bucket_start is None:
-        packed = _lookup_i32(grid.bucket_table, slot)  # [M,S] lookups
-        start = packed & ((1 << 24) - 1)
-        count = packed >> 24  # saturated at 127
-        # The reference latches at >1000 entries/bucket; the packed table
-        # saturates counts at 127, so the latch fires at >=127 — stricter,
-        # but only for absurd densities (per-cell use caps are <=32).
-        cell_overflow = count >= 127
     else:
-        start = grid.bucket_start[slot]  # [M,S]
-        count = grid.bucket_count[slot]
-        cell_overflow = count > hard_cap
-    count = jnp.minimum(count, per_cell_cap)
-
-    offsets = jnp.cumsum(count, axis=-1)  # [M,S] inclusive
-    total = offsets[:, -1]
-    overflow = jnp.any(cell_overflow, axis=-1) | (total > hard_cap)
-
-    b = jnp.broadcast_to(jnp.arange(budget, dtype=jnp.int32)[None, :], (m, budget))
-    start_of_b, prev_off = _rank_and_prev(offsets, budget, start)
-    within = b - prev_off
-    entry = start_of_b + within
-    cand_valid = b < jnp.minimum(total, budget)[:, None]
-    entry = jnp.clip(entry, 0, grid.sorted_items.shape[0] - 1)
-    candidates = _lookup_i32(grid.sorted_items, entry)
+        candidates, cand_valid = entries(budget)(None)
     return candidates, cand_valid, overflow

@@ -127,6 +127,86 @@ def point_triangle_ccd_cols(
     return hit, t_out
 
 
+def point_triangle_phase1_cols(
+    ap0, ab0, ac0, ap1, ab1, ac1, threshold
+) -> tuple[jax.Array, jax.Array]:
+    """Cheap exact split of ``pointTriangleCCD`` into its two outcomes.
+
+    Returns ``(proximity_hit, crossing)`` where ``proximity_hit`` is the
+    reference's t=0 acceptance (point stayed on one side, final distance in
+    ``[0, threshold)``, inside the triangle — ``CollisionDetection.cpp:
+    237-261``) decided *exactly* here, and ``crossing`` marks lanes whose
+    point crossed the triangle plane during the step — only those need the
+    coplanarity cubic (``point_triangle_ccd``), and a sign change across
+    [0, 1] guarantees the cubic has a root there.
+
+    Rationale: the closed-form cubic costs ~8 transcendentals per lane
+    (cbrt x2, arccos, cos x3, sqrt, Newton polish) while crossings are rare
+    (a point passes through a candidate plane within one ~12 ms substep);
+    evaluating it full-width was the narrowphase hot spot at stress scale.
+    ``sign(det(ap0, ab0, ac0)) == sign(n0 . ap0)`` exactly (positive scale
+    factor), so no start-side normalization is needed.
+    """
+    c_start = _det3_c(ap0, ab0, ac0)
+    n1 = _normalize_c(_cross_c(ab1, ac1))
+    ndp1 = _dot_c(n1, ap1)
+    no_cross = c_start * ndp1 >= 0.0
+    proximity_hit = (
+        no_cross
+        & (ndp1 >= 0.0)
+        & (ndp1 < threshold)
+        & _barycentric_inside_c(ab1, ac1, n1, ap1)
+    )
+    return proximity_hit, ~no_cross
+
+
+def point_triangle_phase1_face(
+    b0, ab0, ac0, b1, ab1, ac1, corners_prev, corners_now, threshold
+):
+    """Face-major phase 1: one candidate face tested against MANY points.
+
+    The per-face geometry (start-side cross product, end normal, and the two
+    barycentric cross products) is computed once and shared by every corner,
+    so a whole face's tests fuse into a single pass over the candidate
+    buffer — the per-(corner, face) formulation re-read the 128-lane-padded
+    packed rows per combo and was ~4x the HBM traffic.
+
+    ``b0``/``b1`` are the face's base-corner columns at step start/end;
+    ``ab/ac`` the relative edge columns; ``corners_*`` lists of absolute
+    point-column tuples.  Returns ``[(proximity_hit, crossing), ...]`` per
+    corner (same semantics as :func:`point_triangle_phase1_cols`; the
+    barycentric ``by`` uses the cyclically permuted triple product
+    ``ap . (n x ab)`` — equal in exact arithmetic, ULP-level rounding
+    differences from the per-combo form).
+    """
+    cross0 = _cross_c(ab0, ac0)
+    n1 = _normalize_c(_cross_c(ab1, ac1))
+    det = _det3_c(ab1, ac1, n1)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    ok = det != 0.0
+    cx_acn = _cross_c(ac1, n1)  # det3(ap, ac, n) = ap . (ac x n)
+    cx_nab = _cross_c(n1, ab1)  # det3(ab, ap, n) = ap . (n x ab)
+
+    out = []
+    for cp, cn in zip(corners_prev, corners_now):
+        ap0 = _sub_c(cp, b0)
+        ap1 = _sub_c(cn, b1)
+        c_start = _dot_c(ap0, cross0)
+        ndp1 = _dot_c(n1, ap1)
+        no_cross = c_start * ndp1 >= 0.0
+        bx = _dot_c(ap1, cx_acn) * inv_det
+        by = _dot_c(ap1, cx_nab) * inv_det
+        inside = (
+            ok
+            & (bx >= 0.0) & (bx <= 1.0)
+            & (by >= 0.0) & (by <= 1.0)
+            & (bx + by <= 1.0)
+        )
+        prox = no_cross & (ndp1 >= 0.0) & (ndp1 < threshold) & inside
+        out.append((prox, ~no_cross))
+    return out
+
+
 def point_triangle_ccd(
     ap0: jax.Array,  # point − corner b, at substep start   [..., 3]
     ab0: jax.Array,  # corner c − corner b, start
