@@ -251,6 +251,75 @@ def tet_force12(
     return jnp.stack(out, axis=-1)  # [C, 12]
 
 
+def tet_force12_fused(
+    x: jax.Array,
+    strain: TetBatch,
+    volume: TetBatch,
+    contiguous: bool = False,
+) -> jax.Array:
+    """Combined strain+volume force ``w_s·AᵀB·p̂_s + w_v·AᵀB·p̂_v`` as one
+    flat ``[C, 12]`` array, for scenes where both constraints cover the SAME
+    tets (the reference's ``addTriMeshVolume``/``createTetBox`` emit one of
+    each per tet, ``PrimitiveUtilities.cpp:287-316``; identical ``A``
+    construction ``Constraints.cpp:130-184`` vs ``257-310`` means identical
+    ``qinv``/``g``).
+
+    Versus two :func:`tet_force12` calls this shares the position slices,
+    deformation gradient and the 3x3 SVD (the local step's dominant cost),
+    folds both weights before ONE ``g`` application, and emits ONE [C, 12]
+    buffer — halving the per-iteration reshape + scatter traffic.
+    """
+    c = strain.idx.shape[0]
+    if contiguous:
+        cols = [
+            jax.lax.slice(x, (a, 0), (4 * c, 3), (4, 1)) for a in range(4)
+        ]
+    else:
+        from ..collision.batches import gather_cols
+
+        cols = list(gather_cols(x, strain.idx))
+    p = [[cols[a][:, d] for d in range(3)] for a in range(4)]
+    e = [[p[k + 1][d] - p[0][d] for d in range(3)] for k in range(3)]
+
+    qf = math3d.flatten3x3(strain.qinv)
+    f = tuple(
+        e[0][d] * qf[0 + j] + e[1][d] * qf[3 + j] + e[2][d] * qf[6 + j]
+        for d in range(3)
+        for j in range(3)
+    )
+    u, sigma, v = math3d.svd3x3_flat(f)
+
+    s_strain = [jnp.clip(s, strain.lo, strain.hi) for s in sigma]
+    inverted = math3d.det3x3_flat(f) < 0.0
+    s_strain[2] = s_strain[2] * jnp.where(inverted, -1.0, 1.0)
+    dcorr = _compute_d_flat(sigma, volume.lo, volume.hi)
+    s_volume = [s + dd for s, dd in zip(sigma, dcorr)]
+    # Weighted combination BEFORE reconstruction: both constraints share U/V,
+    # so w_s·Û Ŝ_s Vᵀ + w_v·Û Ŝ_v Vᵀ = Û (w_s·Ŝ_s + w_v·Ŝ_v) Vᵀ.
+    s_comb = [
+        strain.w * ss + volume.w * sv for ss, sv in zip(s_strain, s_volume)
+    ]
+    fhat = tuple(
+        u[3 * d + 0] * s_comb[0] * v[3 * j + 0]
+        + u[3 * d + 1] * s_comb[1] * v[3 * j + 1]
+        + u[3 * d + 2] * s_comb[2] * v[3 * j + 2]
+        for d in range(3)
+        for j in range(3)
+    )
+
+    g = strain.g  # [C, 3, 4]
+    out = []
+    for a in range(4):
+        ga = [g[:, j, a] for j in range(3)]
+        for d in range(3):
+            out.append(
+                ga[0] * fhat[3 * d + 0]
+                + ga[1] * fhat[3 * d + 1]
+                + ga[2] * fhat[3 * d + 2]
+            )
+    return jnp.stack(out, axis=-1)  # [C, 12]
+
+
 def project_bend(
     x: jax.Array, inv_mass: jax.Array, batch: BendBatch
 ) -> jax.Array:

@@ -169,6 +169,12 @@ class StepConfig:
     # (quirk-faithful multi-cell insertion matching the reference's bucket
     # semantics; see collision/broadphase.py).
     broadphase_mode: str = "celllist"
+    # Strain and volume constraints cover the SAME tet list (the reference
+    # emits one of each per tet, PrimitiveUtilities.cpp:287-316): the local
+    # step computes the shared deformation gradient + 3x3 SVD once and emits
+    # one combined force buffer (projections.tet_force12_fused).  Detected
+    # host-side at prepare time.
+    tet_fused: bool = False
     # Scenes with at most this many triangles (and no body structure) skip
     # the sorted grid for a dense [T, T] all-pairs AABB test — the grid's
     # ~25 fixed-overhead ops dominate tiny ticks, and the all-pairs overlap

@@ -85,6 +85,7 @@ def local_step(
     radius: jax.Array | None = None,
     pt_full: bool = True,
     tet_flat: bool = True,
+    tet_fused: bool = False,
 ) -> LocalStep:
     """Project every constraint type onto its manifold from the *same*
     positions — exactly the reference's local step, which reads node state
@@ -105,14 +106,22 @@ def local_step(
     z12 = jnp.zeros((0, 12), x.dtype)
     if tet_flat:
         strain_p, volume_p = z043, z043
-        strain12 = (
-            proj.tet_force12(x, topo.strain, "strain", strain_contiguous)
-            if topo.strain.idx.shape[0] else z12
-        )
-        volume12 = (
-            proj.tet_force12(x, topo.volume, "volume", volume_contiguous)
-            if topo.volume.idx.shape[0] else z12
-        )
+        if tet_fused and topo.strain.idx.shape[0]:
+            # One shared SVD chain, one combined [C, 12] force buffer
+            # (host-verified identical strain/volume tet lists).
+            strain12 = proj.tet_force12_fused(
+                x, topo.strain, topo.volume, strain_contiguous
+            )
+            volume12 = z12
+        else:
+            strain12 = (
+                proj.tet_force12(x, topo.strain, "strain", strain_contiguous)
+                if topo.strain.idx.shape[0] else z12
+            )
+            volume12 = (
+                proj.tet_force12(x, topo.volume, "volume", volume_contiguous)
+                if topo.volume.idx.shape[0] else z12
+            )
     else:
         strain_p = proj.project_strain(x, topo.strain, strain_contiguous)
         volume_p = proj.project_volume(x, topo.volume, volume_contiguous)
@@ -172,6 +181,7 @@ def assemble_force(
     contact_coupling: str = "full",
     x: jax.Array | None = None,
     pt_diag: jax.Array | None = None,
+    tet_fused: bool = False,
 ) -> jax.Array:
     """Global force vector: ``b = M·sₙ/h² + Σ w·AᵀB·p``
     (``Solver.cpp:266,310-349``).
@@ -204,10 +214,16 @@ def assemble_force(
     # Tets: Aᵀ p = Gᵀ · p[1:4] (B = I, rows 1..3 of p are F̂'s columns).
     # The flat path delivers the whole w·AᵀB·p̂ chain as [C, 12] with no
     # tile-padded intermediates (projections.tet_force12).
-    for batch, pl, f12, contig in (
+    tet_passes = [
         (topo.strain, local.strain, local.strain_force12, strain_contiguous),
-        (topo.volume, local.volume, local.volume_force12, volume_contiguous),
-    ):
+    ]
+    if not tet_fused:
+        # When fused, strain_force12 already carries the combined
+        # strain+volume contribution (projections.tet_force12_fused).
+        tet_passes.append(
+            (topo.volume, local.volume, local.volume_force12, volume_contiguous)
+        )
+    for batch, pl, f12, contig in tet_passes:
         if f12.shape[0]:
             c = batch.idx.shape[0]
             if contig:

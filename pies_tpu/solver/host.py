@@ -408,6 +408,19 @@ class Solver:
 
         strain_contiguous = _is_contiguous(b.strain_idx)
         volume_contiguous = _is_contiguous(b.volume_idx)
+        # Fused strain+volume local step: valid when both constraint sets
+        # cover the same tets in the same order (identical A matrices; the
+        # builders emit one of each per tet, mirroring
+        # PrimitiveUtilities.cpp:287-316).
+        tet_fused = (
+            bool(b.strain_idx)
+            and len(b.strain_idx) == len(b.volume_idx)
+            and all(
+                np.array_equal(si, vi)
+                for si, vi in zip(b.strain_idx, b.volume_idx)
+            )
+            and strain_contiguous == volume_contiguous
+        )
         # Packed-body layout: every body owns m contiguous nodes and its
         # stride triangles share one local corner pattern -> the broadphase
         # runs fully packed (collision/broadphase._detect_point_tri_bodies_
@@ -458,6 +471,7 @@ class Solver:
             contact_coupling=self._contact_coupling,
             strain_contiguous=strain_contiguous,
             volume_contiguous=volume_contiguous,
+            tet_fused=tet_fused,
             body_nodes=body_nodes,
             body_node_offset=body_off,
             body_faces=body_faces,

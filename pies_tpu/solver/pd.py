@@ -111,6 +111,7 @@ def pd_substep(
                 config.volume_contiguous,
                 radius=state.radius,
                 pt_full=(config.contact_coupling == "full"),
+                tet_fused=config.tet_fused,
             )
             force = assembly.assemble_force(
                 msn_h2,
@@ -122,6 +123,7 @@ def pd_substep(
                 contact_coupling=config.contact_coupling,
                 x=x,
                 pt_diag=pt_diag_it,
+                tet_fused=config.tet_fused,
             )
             x_new, residual = assembly.pcg_solve(
                 lambda v: matvec(v), force, x, diag, config.cg_iterations,

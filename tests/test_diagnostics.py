@@ -141,15 +141,21 @@ class TestBudgetObservability:
             ),
         )
         # Overlapping tet soup: spacing below the tet size forces many
-        # point-triangle proximity hits immediately.
+        # point-triangle proximity hits immediately.  The health counters
+        # read the LAST substep's buffers and the compressed soup relaxes
+        # chaotically, so assert on the max across ticks (which tick
+        # saturates is trajectory-sensitive at f32).
         s.create_tet_soup(12, spacing=0.9, scale=0.8, w=2000.0, height=0.3)
+        max_contact_occ, max_cand_occ = 0.0, 0.0
         for _ in range(6):
             s.tick()
+            h = diagnostics.broadphase_health(s)
+            max_contact_occ = max(max_contact_occ, float(h["pt_contact_occupancy"]))
+            max_cand_occ = max(max_cand_occ, float(h["candidate_occupancy"]))
         assert not s.sim_failed  # graceful drop, no latch
-        h = diagnostics.broadphase_health(s)
         assert h["pt_contact_cap"] == 8
-        assert h["pt_contact_occupancy"] == 1.0, h  # the cliff, visible
+        assert max_contact_occ == 1.0  # the cliff, visible
         assert h["candidate_count_max"] >= 1
         # Occupancy > 1 means demand EXCEEDS the candidate budget (the
         # overflow factor); this compressed soup should overshoot it.
-        assert h["candidate_occupancy"] > 1.0
+        assert max_cand_occ > 1.0
