@@ -202,12 +202,17 @@ def _lookup_i32(table: jax.Array, idx: jax.Array) -> jax.Array:
     pad = (-h) % 128
     if pad:
         table = jnp.concatenate([table, jnp.zeros(pad, table.dtype)])
-    rows = table.reshape(-1, 128)[idx >> 7]  # [..., 128]
+    # Flatten multi-dim queries: a [K, S] lookup keeps S as the minor dim of
+    # every intermediate, tile-padding 128/S x — measured 2.1x slower than
+    # the flat form at broadphase query shapes ([125k, 8]: 6.6 vs 3.1 ms).
+    shape = idx.shape
+    idx = idx.reshape(-1)
+    rows = table.reshape(-1, 128)[idx >> 7]  # [M, 128]
     lane = idx & 127
-    oh = (lane[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(
+    oh = (lane[:, None] == jnp.arange(128, dtype=jnp.int32)).astype(
         table.dtype
     )
-    return jnp.sum(rows * oh, axis=-1)
+    return jnp.sum(rows * oh, axis=-1).reshape(shape)
 
 
 def _rank_and_prev(offsets: jax.Array, budget: int, start: jax.Array):

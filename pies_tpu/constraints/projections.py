@@ -134,6 +134,32 @@ def project_strain(
     return _projected_from_fhat(fhat)
 
 
+def project_distance_delta_dense(
+    x: jax.Array, batch: DistanceBatch, dmat: jax.Array
+) -> jax.Array:
+    """Small-scene twin of :func:`project_distance_delta`: the endpoint
+    difference comes from ONE MXU matmul against the dense incidence matrix
+    (``Topology.dist_dense``) instead of a 2C-row gather — tiny ticks are
+    bound by per-op overhead, not FLOPs."""
+    diff = _einsum("cn,nd->cd", dmat, x)  # [C, 3] = x[idx1] − x[idx0]
+    dfx, dfy, dfz = diff[:, 0], diff[:, 1], diff[:, 2]
+    dist = jnp.sqrt(dfx * dfx + dfy * dfy + dfz * dfz)
+    safe = dist > 1e-5
+    inv = 1.0 / jnp.maximum(dist, 1e-20)
+    dirx = jnp.where(safe, dfx * inv, 1.0)
+    diry = jnp.where(safe, dfy * inv, 0.0)
+    dirz = jnp.where(safe, dfz * inv, 0.0)
+    disp = batch.rest - dist
+    return jnp.stack(
+        [
+            -(dfx + disp * dirx),
+            -(dfy + disp * diry),
+            -(dfz + disp * dirz),
+        ],
+        axis=-1,
+    )
+
+
 def _compute_d(sigma: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     """Additive singular-value correction driving ``∏(σ+D)`` into
     ``[minΩ, maxΩ]`` by 10 fixed Newton-like iterations — a transcription of

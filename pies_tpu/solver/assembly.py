@@ -139,8 +139,13 @@ def local_step(
         static_p = project_static(
             x, colls.static_idx, floor_height, reference_quirks
         )
+    dd = getattr(topo, "dist_dense", None)
+    if dd is not None and dd.shape[0] == topo.distance.idx.shape[0] > 0:
+        dist_delta = proj.project_distance_delta_dense(x, topo.distance, dd)
+    else:
+        dist_delta = proj.project_distance_delta(x, topo.distance)
     return LocalStep(
-        distance=proj.project_distance_delta(x, topo.distance),
+        distance=dist_delta,
         position=proj.project_position(topo.position),
         strain=strain_p,
         volume=volume_p,
@@ -198,18 +203,30 @@ def assemble_force(
     f = msn_h2
 
     # Distance: AᵀB = A = [[.5,-.5],[-.5,.5]] (Constraints.cpp:42-47).
-    # Both halves ride one scatter op (per-op cost dominates row count).
+    # Both halves ride one scatter op (per-op cost dominates row count);
+    # small scenes use the dense incidence matmul instead (+half at idx0,
+    # −half at idx1 = −Dᵀ·half with D = +1@idx1 −1@idx0).
     d = topo.distance
+    dd = getattr(topo, "dist_dense", None)
     if d.idx.shape[0]:
         half = 0.5 * d.w[:, None] * local.distance
-        f = f.at[d.idx.T.reshape(-1)].add(
-            jnp.concatenate([half, -half], axis=0)
-        )
+        if dd is not None and dd.shape[0] == d.idx.shape[0]:
+            f = f - _einsum("cn,cd->nd", dd, half)
+        else:
+            f = f.at[d.idx.T.reshape(-1)].add(
+                jnp.concatenate([half, -half], axis=0)
+            )
 
-    # Position: AᵀB = I (Constraints.cpp:70-71).
+    # Position: AᵀB = I (Constraints.cpp:70-71).  Targets are build-time
+    # constants, so the whole scatter folds into one precomputed dense add
+    # (Topology.position_force_dense).
     p = topo.position
+    pfd = getattr(topo, "position_force_dense", None)
     if p.idx.shape[0]:
-        f = f.at[p.idx].add(p.w[:, None] * local.position)
+        if pfd is not None and pfd.shape[0] == f.shape[0]:
+            f = f + pfd
+        else:
+            f = f.at[p.idx].add(p.w[:, None] * local.position)
 
     # Tets: Aᵀ p = Gᵀ · p[1:4] (B = I, rows 1..3 of p are F̂'s columns).
     # The flat path delivers the whole w·AᵀB·p̂ chain as [C, 12] with no

@@ -387,10 +387,24 @@ class Solver:
             except np.linalg.LinAlgError:
                 inv = None  # singular (massless unconstrained node): skip
             if inv is not None and np.all(np.isfinite(inv)):
+                extra = {}
+                d = batches["distance"]
+                if d.idx.shape[0]:
+                    # Dense distance incidence (+1 at idx1, -1 at idx0):
+                    # turns the local-step gather and force scatter into
+                    # two MXU matmuls on small scenes (assembly notes).
+                    di = np.asarray(d.idx)
+                    cd = di.shape[0]
+                    dmat = np.zeros((cd, cap), _F32)
+                    rows = np.arange(cd)
+                    np.add.at(dmat, (rows, di[:, 1]), 1.0)
+                    np.add.at(dmat, (rows, di[:, 0]), -1.0)
+                    extra["dist_dense"] = jnp.asarray(dmat)
                 self._topology = dataclasses.replace(
                     self._topology,
                     ata_dense=jnp.asarray(np.asarray(ata)),
                     inv_dense=jnp.asarray(inv),
+                    **extra,
                 )
 
         budget = self._budget or self._auto_budget(positions, tris, bodies)

@@ -183,6 +183,15 @@ class Topology:
     # (host._prepare fills them for capacities ≤ dense_operator_max).
     ata_dense: jax.Array  # f32[N, N] or f32[1, 1]
     inv_dense: jax.Array  # f32[N, N] or f32[1, 1]
+    # Static position-pin force Σ w·target folded per node (targets are
+    # build-time constants, Constraints.cpp:65-74): ONE dense add replaces
+    # the per-PD-iteration scatter.  [1, 3] placeholder when no pins.
+    position_force_dense: jax.Array = None  # f32[N, 3] or f32[1, 3]
+    # Small-scene dense distance incidence (+1 at idx[:,1], −1 at idx[:,0]
+    # per constraint row): the local-step gather and the force scatter
+    # become two MXU matmuls (built by host._prepare alongside ata_dense
+    # for capacities <= dense_operator_max).  [1, 1] placeholder otherwise.
+    dist_dense: jax.Array = None  # f32[C, N] or f32[1, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +500,21 @@ def assemble_topology(
     else:
         tet_band = np.zeros((7, 1), dtype=_F32)
 
+    # Static position-pin forces folded per node: targets never change after
+    # build, so Σ w·target is a constant dense array added once per PD
+    # iteration instead of scattered (Constraints.cpp:65-74).
+    if np.asarray(p.idx).shape[0]:
+        pos_force = np.zeros((num_nodes, 3), np.float64)
+        np.add.at(
+            pos_force,
+            np.asarray(p.idx),
+            np.asarray(p.w)[:, None].astype(np.float64)
+            * np.asarray(p.target, np.float64),
+        )
+        pos_force = pos_force.astype(_F32)
+    else:
+        pos_force = np.zeros((1, 3), _F32)
+
     return Topology(
         triangles=np.asarray(_pad2(tris, tcap)),
         tri_mask=np.asarray(_pad2(np.ones(tris.shape[0], _F32), tcap)),
@@ -503,5 +527,7 @@ def assemble_topology(
         floor_count=np.asarray(floor_count),
         ata_dense=np.zeros((1, 1), _F32),
         inv_dense=np.zeros((1, 1), _F32),
+        position_force_dense=pos_force,
+        dist_dense=np.zeros((1, 1), _F32),
         **fields,
     )
