@@ -142,17 +142,14 @@ def build_grid(
     def tables(rows):
         def fn(_):
             ss = sorted_slots[:rows]
-            idx = jnp.arange(rows, dtype=jnp.int32)
-            is_first = jnp.concatenate(
-                [jnp.ones(1, bool), ss[1:] != ss[:-1]]
-            )
-            first_slot = jnp.where(is_first, ss, h)
-            bs = jnp.zeros(h + 1, dtype=jnp.int32).at[first_slot].max(
-                idx, mode="drop"
-            )
             bc = jnp.zeros(h + 1, dtype=jnp.int32).at[ss].add(
                 1, mode="drop"
             )
+            # Entries are sorted by slot, so each bucket's start is the
+            # number of entries in lower slots — an exclusive cumsum over
+            # the count table replaces the per-entry scatter-max (+ the
+            # first-of-run compare chain) at ~1/4 the cost.
+            bs = jnp.cumsum(bc) - bc
             return bs, bc
 
         return fn
