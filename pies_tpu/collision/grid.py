@@ -187,26 +187,31 @@ def build_grid(
     )
 
 
-def _lookup_i32(table: jax.Array, idx: jax.Array) -> jax.Array:
+def _lookup_i32(table: jax.Array, idx: jax.Array, width: int = 32) -> jax.Array:
     """Scalar table lookup as a two-level row-gather + one-hot lane select.
 
     A direct ``table[idx]`` lowers to per-element gathers (~140M rows/s
-    measured on v5e); gathering 128-wide rows and selecting the lane with an
-    integer one-hot mul-sum runs ~2.6x faster at broadphase query counts.
+    measured on v5e); gathering ``width``-wide rows and selecting the lane
+    with an integer one-hot mul-sum is far faster at broadphase query
+    counts.  The pattern is HBM-traffic-bound (row bytes x 2 passes: the
+    gather write + the select-reduce read), so narrower rows win as long as
+    the gather stays traffic-bound: in-tick A/B at 500k (4M+3M lookups)
+    measured 128-wide rows ~17 ms/tick vs 32-wide ~5 ms.
     ``table`` is i32[H]; ``idx`` any shape with values in [0, H).
     """
     h = table.shape[0]
-    pad = (-h) % 128
+    pad = (-h) % width
     if pad:
         table = jnp.concatenate([table, jnp.zeros(pad, table.dtype)])
+    shift = width.bit_length() - 1
     # Flatten multi-dim queries: a [K, S] lookup keeps S as the minor dim of
     # every intermediate, tile-padding 128/S x — measured 2.1x slower than
     # the flat form at broadphase query shapes ([125k, 8]: 6.6 vs 3.1 ms).
     shape = idx.shape
     idx = idx.reshape(-1)
-    rows = table.reshape(-1, 128)[idx >> 7]  # [M, 128]
-    lane = idx & 127
-    oh = (lane[:, None] == jnp.arange(128, dtype=jnp.int32)).astype(
+    rows = table.reshape(-1, width)[idx >> shift]  # [M, width]
+    lane = idx & (width - 1)
+    oh = (lane[:, None] == jnp.arange(width, dtype=jnp.int32)).astype(
         table.dtype
     )
     return jnp.sum(rows * oh, axis=-1).reshape(shape)
