@@ -505,6 +505,60 @@ def system_diag(
     return diag
 
 
+def tet_block_factor(diag: jax.Array, block6: jax.Array):
+    """Batched 4x4 Cholesky of the disjoint-tet system blocks.
+
+    ``diag`` f32[N] is the full runtime system diagonal (mass/h² + static
+    stiffness + this substep's contact diagonals); ``block6`` f32[6, N//4]
+    the static upper off-diagonals (``Topology.tet_block6``).  Everything is
+    computed on dense [K] columns — a [K, 4, 4] layout would tile-pad its
+    minor dims (8, 128)/(4, 4) ≈ 64x (PLAN.md cost model).  Returns the 10
+    factor columns (6 strict-lower entries + 4 reciprocal diagonals).
+    """
+    k = diag.shape[0] // 4
+    # Physical transpose: [K, 4] keeps 4 as the (128-padded) minor dim.
+    d_t = jax.lax.optimization_barrier(diag.reshape(k, 4).T)
+    d0, d1, d2, d3 = d_t[0], d_t[1], d_t[2], d_t[3]
+    b01, b02, b03, b12, b13, b23 = (block6[i] for i in range(6))
+    i00 = jax.lax.rsqrt(d0)
+    l10 = b01 * i00
+    l20 = b02 * i00
+    l30 = b03 * i00
+    i11 = jax.lax.rsqrt(d1 - l10 * l10)
+    l21 = (b12 - l20 * l10) * i11
+    l31 = (b13 - l30 * l10) * i11
+    i22 = jax.lax.rsqrt(d2 - l20 * l20 - l21 * l21)
+    l32 = (b23 - l30 * l20 - l31 * l21) * i22
+    i33 = jax.lax.rsqrt(d3 - l30 * l30 - l31 * l31 - l32 * l32)
+    return (l10, l20, l30, l21, l31, l32, i00, i11, i22, i33)
+
+
+def tet_block_apply(factors, r: jax.Array) -> jax.Array:
+    """Solve ``(L Lᵀ) z = r`` per 4-node block for the 3 stacked RHS.
+
+    With ``factors`` from :func:`tet_block_factor` this is the EXACT inverse
+    of the block-diagonal PD system — used as the CG preconditioner, it
+    converges in one trip (see ``Topology.tet_block6``).
+    """
+    l10, l20, l30, l21, l31, l32, i00, i11, i22, i33 = factors
+    n = r.shape[0]
+    k = n // 4
+    outs = []
+    for ax in range(3):
+        r_t = jax.lax.optimization_barrier(r[:, ax].reshape(k, 4).T)
+        r0, r1, r2, r3 = r_t[0], r_t[1], r_t[2], r_t[3]
+        y0 = r0 * i00
+        y1 = (r1 - l10 * y0) * i11
+        y2 = (r2 - l20 * y0 - l21 * y1) * i22
+        y3 = (r3 - l30 * y0 - l31 * y1 - l32 * y2) * i33
+        z3 = y3 * i33
+        z2 = (y2 - l32 * z3) * i22
+        z1 = (y1 - l21 * z2 - l31 * z3) * i11
+        z0 = (y0 - l10 * z1 - l20 * z2 - l30 * z3) * i00
+        outs.append(jnp.stack([z0, z1, z2, z3], axis=0).T.reshape(n))
+    return jnp.stack(outs, axis=-1)
+
+
 def pcg_solve(
     matvec,
     b: jax.Array,
@@ -513,6 +567,7 @@ def pcg_solve(
     iterations: int,
     rtol: float = 0.0,
     inv_dense: jax.Array | None = None,
+    precond_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Jacobi-preconditioned CG on the stacked 3-RHS system.
 
@@ -529,8 +584,12 @@ def pcg_solve(
     dense inverse of the collision-free system (``Topology.inv_dense``) —
     the prefactorized-solve analog of the reference's LLT: exact in one
     trip on contact-free substeps, 2-3 trips under contact diagonals.
+    ``precond_fn`` (a callable ``r -> z``, e.g. the disjoint-tet block
+    Cholesky of :func:`tet_block_apply`) takes priority over both.
     """
-    if inv_dense is not None:
+    if precond_fn is not None:
+        precond = precond_fn
+    elif inv_dense is not None:
         precond = lambda r: _einsum("ij,jd->id", inv_dense, r)
     else:
         inv_diag = (1.0 / diag)[:, None]

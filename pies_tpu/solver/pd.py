@@ -92,6 +92,23 @@ def pd_substep(
     inv_dense = (
         topo.inv_dense if topo.inv_dense.shape[0] == x.shape[0] else None
     )
+    # Disjoint-tet scenes: the system is block-diagonal in 4x4 blocks (see
+    # Topology.tet_block6), so a batched block Cholesky — refactored once
+    # per substep from this substep's diagonal, contacts included — is the
+    # EXACT system inverse and CG converges in one trip.  Any SPD
+    # preconditioner keeps CG correct, so no coupling-mode gate is needed;
+    # exactness just needs the off-diagonal contact terms absent
+    # (contact_coupling != "full"), which only affects trip count.
+    precond_fn = None
+    if (
+        inv_dense is None
+        and topo.tet_block6 is not None
+        and topo.tet_block6.shape[-1] * 4 == state.capacity
+    ):
+        precond_fn = partial(
+            assembly.tet_block_apply,
+            assembly.tet_block_factor(diag, topo.tet_block6),
+        )
 
     def make_iteration(colls_it, pt_diag_it):
         def iteration(_, carry):
@@ -128,6 +145,7 @@ def pd_substep(
             x_new, residual = assembly.pcg_solve(
                 lambda v: matvec(v), force, x, diag, config.cg_iterations,
                 rtol=config.cg_rtol, inv_dense=inv_dense,
+                precond_fn=precond_fn,
             )
             # Padded nodes solve exactly to their park position; re-select
             # to remove CG truncation noise.

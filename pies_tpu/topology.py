@@ -192,6 +192,20 @@ class Topology:
     # become two MXU matmuls (built by host._prepare alongside ata_dense
     # for capacities <= dense_operator_max).  [1, 1] placeholder otherwise.
     dist_dense: jax.Array = None  # f32[C, N] or f32[1, 1]
+    # Disjoint-tet block structure: when the banded layout holds (strain/
+    # volume idx exactly arange — tets contiguous AND node-disjoint) and no
+    # distance constraints exist, every OFF-diagonal static operator term
+    # lives inside a 4x4 block (bend/shape/goal/position/contact terms are
+    # all diagonal in this PD formulation, Constraints.cpp:390-391,
+    # ShapeMatchingConstraint.cpp:50-56, CollisionConstraint.cpp:42-46).
+    # The global solve is then EXACT per block: a batched 4x4 Cholesky
+    # (assembly.tet_block_factor/apply) preconditions CG to ONE trip — the
+    # large-scene analog of the reference's SimplicialLLT prefactorization
+    # (Solver.cpp:212-215), refactored per substep like Solver.cpp:260-262
+    # but in O(N) instead of O(nnz^1.5).  Rows are the 6 upper off-diagonal
+    # block entries (0,1),(0,2),(0,3),(1,2),(1,3),(2,3) per block; None
+    # when the structure doesn't hold.
+    tet_block6: jax.Array = None  # f32[6, N//4] or None
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +514,21 @@ def assemble_topology(
     else:
         tet_band = np.zeros((7, 1), dtype=_F32)
 
+    # Disjoint-tet 4x4 block off-diagonals (see the Topology.tet_block6
+    # comment): derivable from the band because banded layouts are exactly
+    # the node-disjoint contiguous-tet layouts — B[a][b] of block k is
+    # band[3 + b - a][4k + a].  Blocks past the live tets (capacity padding,
+    # non-tet nodes) have zero off-diagonals, i.e. a plain diagonal solve.
+    if banded and num_nodes % 4 == 0 and di.shape[0] == 0:
+        tet_block6 = np.stack(
+            [
+                tet_band[3 + b_ - a].reshape(-1, 4)[:, a]
+                for a, b_ in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+            ]
+        )
+    else:
+        tet_block6 = None
+
     # Static position-pin forces folded per node: targets never change after
     # build, so Σ w·target is a constant dense array added once per PD
     # iteration instead of scattered (Constraints.cpp:65-74).
@@ -529,5 +558,6 @@ def assemble_topology(
         inv_dense=np.zeros((1, 1), _F32),
         position_force_dense=pos_force,
         dist_dense=np.zeros((1, 1), _F32),
+        tet_block6=tet_block6,
         **fields,
     )

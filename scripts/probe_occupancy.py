@@ -70,6 +70,10 @@ def main():
         )
         cand_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=-1)
         cand = jnp.minimum(cand, k - 1)
+        # mirror the production own-body drop before the prefilter
+        cand_valid = cand_valid & (
+            cand != jnp.arange(k, dtype=jnp.int32)[:, None]
+        )
         packed, packed_valid = bp._aabb_prefilter_pack(
             cand, cand_valid, lo_b, hi_b, margin, budget.max_narrow_bodies
         )
@@ -94,6 +98,8 @@ def main():
                 [jnp.sum(narrow_counts > i) for i in (0, 1, 2, 4, 7)]
             ),
             narrow_real_max=jnp.max(narrow_real),
+            live_pairs_total=jnp.sum(narrow_counts),
+            btotal_like_max=jnp.max(cand_counts),
         )
 
     out = probe(st.positions, st.prev_positions, topo.triangles, topo.tri_mask)
