@@ -72,6 +72,10 @@ class CollisionSet:
     nn_idx: jax.Array  # i32[P, 2]
     nn_mask: jax.Array  # f32[P]
     overflow: jax.Array  # bool[] — any capacity exceeded this substep
+    # Updated temporal broadphase cache (state.BroadphaseCache) when the
+    # packed-body path ran with one; the substep folds it back into the
+    # solver state.  None otherwise.
+    bp: object = None
 
 
 def empty_collision_set(

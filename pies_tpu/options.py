@@ -197,6 +197,12 @@ class StepConfig:
     body_nodes: int = 0
     body_node_offset: int = 0
     body_faces: tuple = ()
+    # Temporal broadphase caching for the packed-body path: reuse the
+    # candidate-pair buffer across substeps until some node moves more than
+    # ``PhysicsParams.broadphase_slack`` from the cached reference (see
+    # state.BroadphaseCache).  Effective only when the host allocated a
+    # cache (SolverState.bp) and slack > 0.
+    bp_cache: bool = True
     # How point-triangle contacts enter the PD global operator:
     #  * "full": the exact w·AᵀA block, like the reference's collision matrix
     #    (Solver.cpp:242-262) — costs a contact-buffer gather+scatter in every
@@ -240,6 +246,14 @@ class PhysicsParams:
     # so the host can retune it per scene without recompiling; must exceed
     # the largest swept triangle AABB extent (violations latch overflow).
     broadphase_cell: jax.Array
+    # Temporal broadphase-cache displacement bound (world units, per axis):
+    # the packed-body candidate pairs are rebuilt only when some node has
+    # moved more than this from the cached reference positions; the cached
+    # prefilter inflates its AABB test by 2x this value so the cached pair
+    # set stays a superset in between (state.BroadphaseCache).  0 disables
+    # caching (every substep rebuilds).  Must stay well under the typical
+    # inter-body gap or the inflated prefilter admits every neighbor.
+    broadphase_slack: jax.Array
 
 
 def split_options(options: SolverOptions, **config_overrides) -> tuple[StepConfig, PhysicsParams]:
@@ -261,6 +275,7 @@ def make_params(
     options: SolverOptions,
     release_hinge: bool = False,
     broadphase_cell: float = 1.0,
+    broadphase_slack: float = 0.0,
 ) -> PhysicsParams:
     f32 = jnp.float32
     return PhysicsParams(
@@ -275,4 +290,5 @@ def make_params(
         grid_spacing=f32(options.grid_spacing),
         release_hinge=f32(1.0 if release_hinge else 0.0),
         broadphase_cell=f32(broadphase_cell),
+        broadphase_slack=f32(broadphase_slack),
     )

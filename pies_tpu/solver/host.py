@@ -31,7 +31,13 @@ from ..options import (
     make_params,
 )
 from ..scene.builder import SceneBuilder
-from ..state import SolverState, load_state, make_state, save_state
+from ..state import (
+    SolverState,
+    empty_broadphase_cache,
+    load_state,
+    make_state,
+    save_state,
+)
 from .step import tick as tick_fn
 from .step import tick_n as tick_n_fn
 
@@ -491,6 +497,30 @@ class Solver:
             body_faces=body_faces,
             budget=budget,
         )
+        # Temporal broadphase cache for the packed-body path (see
+        # state.BroadphaseCache): sized per scene, reset on every prepare
+        # (fresh=False forces a rebuild at the next detection).  The slack
+        # bounds how far any node may drift before candidates are rebuilt;
+        # it must stay well under typical inter-body gaps (the build-time
+        # prefilter inflates by 2x slack, and the slack-tier near-neighbors
+        # it admits occupy narrow-buffer slots in resting piles) — a small
+        # fraction of the cell works for every bench scene and recompiles
+        # nothing (traced scalar).  A/B on the 500k soup (scripts/ab_slack):
+        # cell/8 best overall (settled 41.7 ms vs 50.7 at cell/16 — fewer
+        # rebuilds — and fresh 23.7 vs 21.3; cell/4 loses both ways from
+        # slack-tier volume).
+        self._broadphase_slack = self._broadphase_cell / 8.0
+        if body_nodes > 0 and budget.body_stride > 1:
+            kb = int(topology.triangles.shape[0]) // budget.body_stride
+            self._state = dataclasses.replace(
+                self._state,
+                bp=jax.tree.map(
+                    jnp.asarray,
+                    empty_broadphase_cache(
+                        kb, budget.max_narrow_bodies, kb * body_nodes
+                    ),
+                ),
+            )
         self._prepared_nodes = num_live
         self._dirty = False
 
@@ -536,6 +566,13 @@ class Solver:
                 max_candidates_per_tri=96,
                 max_point_tri_contacts=max(256, -(-tris.shape[0] // 8) // 8 * 8 + 8),
                 max_narrow_candidates=16 if stride > 1 else 32,
+                # 16 narrow bodies: resting piles hold ~6 touching neighbors
+                # plus the cache's slack-tier near-neighbors — 8 overflowed
+                # (forcing per-substep rebuilds, nullifying the temporal
+                # cache exactly in the settled scenes it serves).  Phase 1
+                # width-adapts to the live maximum, so the bigger static
+                # budget costs nothing when few survive.
+                max_narrow_bodies=16 if stride > 1 else 8,
                 body_stride=stride,
             )
         scale = 1.0 if self._reference_quirks else self._options.grid_spacing
@@ -561,12 +598,16 @@ class Solver:
         overhead at stress scale.
         """
         self._prepare()
-        key = (self._options, self.release_hinge, self._broadphase_cell)
+        slack = getattr(self, "_broadphase_slack", 0.0)
+        key = (
+            self._options, self.release_hinge, self._broadphase_cell, slack
+        )
         if getattr(self, "_params_key", None) != key:
             self._params_cache = make_params(
                 self._options,
                 release_hinge=self.release_hinge,
                 broadphase_cell=self._broadphase_cell,
+                broadphase_slack=slack,
             )
             self._params_key = key
         return self._params_cache

@@ -280,6 +280,8 @@ def pd_substep(
         velocities=vel,
         shape_quats=quats,
     )
+    if colls.bp is not None:
+        new_state = replace(new_state, bp=colls.bp)
     failed = jnp.logical_or(
         colls.overflow, ~jnp.all(jnp.isfinite(x))
     )

@@ -55,9 +55,18 @@ def default_detect_collisions(state, x, topo, params, config: StepConfig):
     if config.enable_collisions and topo.triangles.shape[0] > 0:
         from ..collision.broadphase import detect_point_tri_collisions
 
-        pt_idx, pt_mask, overflow = detect_point_tri_collisions(
-            x, state.prev_positions, topo.triangles, topo.tri_mask, params, config
-        )
+        bp = getattr(state, "bp", None)
+        if bp is not None:
+            pt_idx, pt_mask, overflow, new_bp = detect_point_tri_collisions(
+                x, state.prev_positions, topo.triangles, topo.tri_mask,
+                params, config, cache=bp,
+            )
+            colls = replace(colls, bp=new_bp)
+        else:
+            pt_idx, pt_mask, overflow = detect_point_tri_collisions(
+                x, state.prev_positions, topo.triangles, topo.tri_mask,
+                params, config,
+            )
         colls = replace(
             colls, pt_idx=pt_idx, pt_mask=pt_mask, overflow=overflow
         )

@@ -38,6 +38,30 @@ PARK_PITCH = 64.0  # spacing between parked particles (>> any grid spacing)
 
 @jax.tree_util.register_dataclass
 @dataclass
+class BroadphaseCache:
+    """Temporal broadphase cache (Verlet/neighbor-list style).
+
+    The packed-body broadphase's candidate pairs stay valid while no node
+    has moved more than ``PhysicsParams.broadphase_slack`` (per axis) from
+    where they were when the grid was last built: the prefilter at build
+    time inflates its AABB test by 2x that slack, so the cached pair set is
+    a superset of every exact AABB-overlap set reachable without tripping
+    the displacement bound.  The narrowphase re-tests cached pairs exactly
+    at the CURRENT positions every substep, so contacts themselves are
+    never stale.  The reference rebuilds its spatial hash every substep
+    (``Solver.cpp:693``) because CPU hash inserts are cheap; on TPU the
+    build+query+gather chain is the detection cost, and a conservative
+    displacement bound removes it from quiescent substeps entirely.
+    """
+
+    pairs: jax.Array  # i32[K, NB] packed candidate bodies per body
+    valid: jax.Array  # bool[K, NB]
+    ref: jax.Array  # f32[M, 3] body-node positions at build time
+    fresh: jax.Array  # bool[] — False forces a rebuild (initial state)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class SolverState:
     positions: jax.Array  # f32[N, 3]
     prev_positions: jax.Array  # f32[N, 3]
@@ -49,10 +73,23 @@ class SolverState:
     node_mask: jax.Array  # f32[N]
     shape_quats: jax.Array  # f32[G, 4]  (w, x, y, z) per shape-match group
     sim_failed: jax.Array  # bool[]
+    # Packed-body broadphase cache; None unless host._prepare sized it for
+    # the scene's uniform-body layout.
+    bp: BroadphaseCache | None = None
 
     @property
     def capacity(self) -> int:
         return self.positions.shape[-2]
+
+
+def empty_broadphase_cache(k: int, nb: int, m: int) -> BroadphaseCache:
+    """Unpopulated cache (``fresh=False`` → first detection rebuilds)."""
+    return BroadphaseCache(
+        pairs=np.zeros((k, nb), np.int32),
+        valid=np.zeros((k, nb), bool),
+        ref=np.zeros((m, 3), np.float32),
+        fresh=np.asarray(False),
+    )
 
 
 def park_positions(num_padded: int, offset: int = 0) -> np.ndarray:

@@ -36,6 +36,16 @@ def main():
     if scene == "cloth":
         s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
         s.create_sheet((0.0, 10.0, 0.0), 1.0, 1.0, 5000.0)
+    elif scene == "pile":
+        import numpy as np
+
+        npts = int(os.environ.get("PIES_PROF_NODES", 8192))
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(
+            [-4, 0.5, -4], [4, 6.0, 4], (npts, 3)
+        ).astype(np.float32)
+        s = Solver(SolverOptions(solver=SolverName.PBD), enable_collisions=True)
+        s.add_nodes(pts)
     elif scene == "blobs":
         import numpy as np
 

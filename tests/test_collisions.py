@@ -567,3 +567,75 @@ class TestDenseFloorContacts:
 
         d = np.abs(run(True) - run(False)).max()
         assert d < 1e-6
+
+
+class TestBroadphaseCache:
+    """Temporal candidate caching (state.BroadphaseCache): within budgets,
+    cached detection must produce contact sets identical to per-substep
+    rebuilds, and quiescent states must actually reuse the cache."""
+
+    def _soup(self, spacing):
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+        s.create_tet_soup(
+            24, spacing=spacing, scale=0.8, w=2000.0, height=1.0, jitter=0.05
+        )
+        s._prepare()
+        assert s._state.bp is not None
+        return s
+
+    def test_contact_sets_match_uncached(self):
+        from functools import partial
+
+        s = self._soup(1.4)
+        params = s.current_params()
+        cfg, topo = s._config, s._topology
+        h = float(params.dt)
+        det = jax.jit(
+            partial(
+                detect_point_tri_collisions,
+                triangles=topo.triangles,
+                tri_mask=topo.tri_mask,
+                config=cfg,
+            )
+        )
+        cache = s._state.bp
+        for _ in range(25):
+            st = s._state
+            x = jnp.asarray(
+                np.asarray(st.positions)
+                + h
+                * np.asarray(st.velocities)
+                * np.asarray(st.node_mask)[:, None]
+            )
+            ia, ma, _, cache = det(
+                x, st.prev_positions, params=params, cache=cache
+            )
+            ib, mb, _ = det(x, st.prev_positions, params=params)
+            sa = set(map(tuple, np.asarray(ia)[np.asarray(ma) > 0]))
+            sb = set(map(tuple, np.asarray(ib)[np.asarray(mb) > 0]))
+            assert sa == sb
+            s.tick()
+
+    def test_cache_reuses_when_quiescent(self):
+        # A fully settled soup must stop rebuilding: the reference positions
+        # freeze once displacement stays under the slack.
+        s = self._soup(1.6)
+        for _ in range(120):
+            s.tick()
+        ref1 = np.asarray(s._state.bp.ref)
+        s.tick()
+        ref2 = np.asarray(s._state.bp.ref)
+        assert bool(s._state.bp.fresh)
+        assert np.array_equal(ref1, ref2), "settled soup rebuilt its cache"
+
+    def test_dense_overflow_regime_stays_stable(self):
+        # Beyond the candidate budgets the cache self-disables per substep
+        # (narrow overflow publishes fresh=False); the pile must still
+        # settle on the floor without latching or deep penetration.
+        s = self._soup(0.9)
+        for _ in range(100):
+            s.tick()
+        p = s.get_vertices()["position"]
+        assert not s.sim_failed
+        assert p[:, 1].min() > -0.3
+        assert p[:, 1].max() < 2.6
