@@ -305,6 +305,16 @@ def tet_force12_fused(
 
         cols = list(gather_cols(x, strain.idx))
     p = [[cols[a][:, d] for d in range(3)] for a in range(4)]
+    return jnp.stack(tet_force12_fused_cols(p, strain, volume), axis=-1)
+
+
+def tet_force12_fused_cols(p, strain: TetBatch, volume: TetBatch):
+    """Column-space core of :func:`tet_force12_fused`: corner positions come
+    in as ``p[a][d]`` columns (4 corners x 3 axes of ``f32[C]``) and the
+    combined strain+volume force ``w_s·AᵀB·p̂_s + w_v·AᵀB·p̂_v`` goes out as a
+    list of 12 ``f32[C]`` columns (index ``3a + d``) — no stacked 2-D buffer
+    at either end, so the tet-column PD fast path (solver/tetcols.py) keeps
+    the whole iteration in flat columns."""
     e = [[p[k + 1][d] - p[0][d] for d in range(3)] for k in range(3)]
 
     qf = math3d.flatten3x3(strain.qinv)
@@ -343,7 +353,7 @@ def tet_force12_fused(
                 + ga[1] * fhat[3 * d + 1]
                 + ga[2] * fhat[3 * d + 2]
             )
-    return jnp.stack(out, axis=-1)  # [C, 12]
+    return out  # 12 x [C], index 3a + d
 
 
 def project_bend(

@@ -34,7 +34,7 @@ from ..collision.batches import (
 from ..options import PhysicsParams, StepConfig
 from ..state import SolverState
 from ..topology import Topology
-from . import assembly
+from . import assembly, tetcols
 
 
 def pd_substep(
@@ -92,6 +92,20 @@ def pd_substep(
     inv_dense = (
         topo.inv_dense if topo.inv_dense.shape[0] == x.shape[0] else None
     )
+    if tetcols.applies(state, topo, colls, config, inv_dense):
+        # Tet-column fast path: the system is exactly block-diagonal (see
+        # tetcols module docstring), so the whole iteration loop — local
+        # step, force, direct 4x4 block solve — runs in corner-major flat
+        # columns with no per-iteration layout conversion.
+        x, static_proj_fast, residual = tetcols.substep_cols(
+            x, msn_h2, diag,
+            pt_diag if pt_diag is not None else None,
+            state.node_mask, topo, colls, params, config,
+        )
+        return _finish_substep(
+            state, topo, params, config, colls, x, prev,
+            static_proj_fast, residual, state.shape_quats, h, mask,
+        )
     # Disjoint-tet scenes: the system is block-diagonal in 4x4 blocks (see
     # Topology.tet_block6), so a batched block Cholesky — refactored once
     # per substep from this substep's diagonal, contacts included — is the
@@ -195,6 +209,28 @@ def pd_substep(
     # ``static_proj`` is the final local step's static projection — the
     # reference's stabilization snaps to this stale ``projectedPosition``
     # (computed before the last global solve, Solver.cpp:306-308,379-382).
+    return _finish_substep(
+        state, topo, params, config, colls, x, prev, static_proj,
+        residual, quats, h, mask,
+    )
+
+
+def _finish_substep(
+    state: SolverState,
+    topo: Topology,
+    params: PhysicsParams,
+    config: StepConfig,
+    colls: CollisionSet,
+    x: jax.Array,
+    prev: jax.Array,
+    static_proj: jax.Array,
+    residual: jax.Array,
+    quats: jax.Array,
+    h,
+    mask: jax.Array,
+) -> tuple[SolverState, jax.Array]:
+    """Stabilization, velocity, friction and state assembly — shared tail of
+    the generic and tet-column substep paths (``Solver.cpp:367-484``)."""
 
     def stabilize(_, carry):
         x, prev = carry

@@ -468,3 +468,42 @@ class TestCGConvergenceBound:
 
         d = np.abs(run(False) - run(True)).max()
         assert d < 1e-3, d
+
+
+class TestTetColumnFastPath:
+    """The tet-column PD fast path (solver/tetcols.py) must reproduce the
+    generic pcg path's trajectories: same block-diagonal system, direct
+    block solve instead of CG-with-exact-preconditioner, whole iteration in
+    corner-major columns."""
+
+    def _run(self, tet_cols, ticks=40, height=0.6, spacing=1.4):
+        from dataclasses import replace as drep
+
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+        # Dense enough for point-tri contacts AND floor contacts.
+        s.create_tet_soup(
+            24, spacing=spacing, scale=0.8, w=2000.0,
+            height=height, jitter=0.05,
+        )
+        s._prepare()
+        s._config = drep(s._config, tet_cols=tet_cols)
+        if tet_cols:
+            # Make sure the fast path actually engages on this scene.
+            from pies_tpu.solver import tetcols
+
+            assert s._topology.tet_block6 is not None
+            assert s._config.tet_fused and s._config.strain_contiguous
+            assert s._config.contact_coupling in ("diagonal", "recentered")
+        for _ in range(ticks):
+            s.tick()
+        assert not s.sim_failed
+        return s.get_vertices()["position"][: s._builder.num_nodes]
+
+    def test_matches_generic_path(self):
+        fast = self._run(True)
+        slow = self._run(False)
+        d = np.abs(fast - slow).max()
+        assert d < 1e-3, d
+        # Both must have settled into contact (not free fall): some node at
+        # the floor.
+        assert fast[:, 1].min() < 0.5
