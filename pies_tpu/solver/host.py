@@ -34,6 +34,7 @@ from ..scene.builder import SceneBuilder
 from ..state import (
     SolverState,
     empty_broadphase_cache,
+    empty_node_pair_cache,
     load_state,
     make_state,
     save_state,
@@ -518,6 +519,23 @@ class Solver:
                     jnp.asarray,
                     empty_broadphase_cache(
                         kb, budget.max_narrow_bodies, kb * body_nodes
+                    ),
+                ),
+            )
+        # Temporal node-pair cache for the PBD response (state.NodePairCache):
+        # the reference's radiusPadding 0.5 gives the displacement bound, so
+        # quiescent iterations skip the whole grid build/query/dedup chain.
+        if (
+            self._options.solver.name == "PBD"
+            and self._enable_collisions
+        ):
+            self._state = dataclasses.replace(
+                self._state,
+                nn=jax.tree.map(
+                    jnp.asarray,
+                    empty_node_pair_cache(
+                        int(self._state.capacity),
+                        budget.max_candidates_per_node,
                     ),
                 ),
             )

@@ -62,9 +62,11 @@ def pbd_substep(
 ) -> tuple[SolverState, jax.Array]:
     """One PBD substep.
 
-    ``detect_node_pairs(state, x, vel, params, config)`` implements the
-    inline node-node collision response + friction of ``Solver.cpp:81-130``
-    over the sorted-grid broadphase and returns ``(x, vel, overflow)``.
+    ``detect_node_pairs(state, x, vel, params, config, cache)`` implements
+    the inline node-node collision response + friction of
+    ``Solver.cpp:81-130`` over the sorted-grid broadphase and returns
+    ``(x, vel, overflow, cache)`` (``cache`` is the temporal node-pair
+    cache carried in ``state.nn``, or None).
     """
     dt = params.dt
     mask = state.node_mask[:, None]
@@ -75,7 +77,7 @@ def pbd_substep(
     x = state.positions + (state.velocities * dt + gravity * dt * dt) * mask
 
     def iteration(_, carry):
-        x, vel, overflow = carry
+        x, vel, overflow, nn = carry
 
         # Position constraints, gated by releaseHinge (Solver.cpp:59-63).
         p = topo.position
@@ -113,20 +115,20 @@ def pbd_substep(
         # persist across iterations (the reference mutates node.velocity);
         # they are discarded at substep end when velocity is recomputed from
         # positions, exactly like the reference.
-        x, vel, of = detect_node_pairs(state, x, vel, params, config)
+        x, vel, of, nn = detect_node_pairs(state, x, vel, params, config, nn)
         overflow = jnp.logical_or(overflow, of)
 
         # Floor clamp (Solver.cpp:132-136).
         lift = params.floor_height + state.radius - x[:, 1]
         live = state.node_mask > 0
         x = x.at[:, 1].add(jnp.where((lift > 0) & live, lift, 0.0))
-        return x, vel, overflow
+        return x, vel, overflow, nn
 
-    x, _, overflow = jax.lax.fori_loop(
+    x, _, overflow, nn = jax.lax.fori_loop(
         0,
         config.iterations,
         iteration,
-        (x, state.velocities, jnp.asarray(False)),
+        (x, state.velocities, jnp.asarray(False), state.nn),
     )
 
     # Velocity update (Solver.cpp:139-158): damped finite difference, then
@@ -145,5 +147,6 @@ def pbd_substep(
         prev_positions=x,
         velocities=new_vel,
         sim_failed=jnp.logical_or(state.sim_failed, failed),
+        nn=nn,
     )
     return new_state, jnp.asarray(0.0, x.dtype)

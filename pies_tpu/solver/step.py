@@ -90,13 +90,14 @@ def default_detect_collisions(state, x, topo, params, config: StepConfig):
     return colls
 
 
-def default_detect_node_pairs(state, x, vel, params, config: StepConfig):
+def default_detect_node_pairs(state, x, vel, params, config: StepConfig, cache):
     """PBD node-node collision response (``Solver.cpp:81-130``)."""
     if not config.enable_collisions:
-        return x, vel, jnp.asarray(False)
+        return x, vel, jnp.asarray(False), cache
     from ..collision.broadphase import pbd_node_node_response
 
-    return pbd_node_node_response(state, x, vel, params, config)
+    out = pbd_node_node_response(state, x, vel, params, config, cache)
+    return out if cache is not None else out + (None,)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -62,6 +62,34 @@ class BroadphaseCache:
 
 @jax.tree_util.register_dataclass
 @dataclass
+class NodePairCache:
+    """Temporal node-pair cache for the PBD node-node response.
+
+    The reference rebuilds ``_spatialHashNodes`` every solver iteration
+    (``Solver.cpp:81-83``); on TPU the grid build/query/dedup chain is the
+    dominant per-iteration cost of a node pile.  The reference's own
+    ``radiusPadding = 0.5`` (``Solver.cpp:883``) supplies a free displacement
+    bound: padded node AABBs overlap whenever per-axis center distance is
+    within ``r_i + r_j + 1.0``, while a *touching* pair only needs the
+    Euclidean distance within ``r_i + r_j`` — so as long as no node has
+    drifted more than 0.5 (per axis) from where the grid was last built, the
+    cached pair set is a superset of every touching set, and the response's
+    exact ``disp > 0`` test on CURRENT positions keeps the physics identical.
+
+    Pairs are compacted to a sorted valid prefix at build time so the
+    per-iteration response runs on a width-adaptive slice (~2x the live pair
+    count) instead of the full ``N x budget`` candidate lattice.
+    """
+
+    pi: jax.Array  # i32[NB] pair node i, valid prefix first
+    pj: jax.Array  # i32[NB] pair node j
+    count: jax.Array  # i32[] live prefix length
+    ref: jax.Array  # f32[N, 3] positions at build time
+    fresh: jax.Array  # bool[] — False forces a rebuild
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class SolverState:
     positions: jax.Array  # f32[N, 3]
     prev_positions: jax.Array  # f32[N, 3]
@@ -76,6 +104,9 @@ class SolverState:
     # Packed-body broadphase cache; None unless host._prepare sized it for
     # the scene's uniform-body layout.
     bp: BroadphaseCache | None = None
+    # Node-pair cache for the PBD response; None unless host._prepare
+    # allocated it (PBD solver with collisions enabled).
+    nn: NodePairCache | None = None
 
     @property
     def capacity(self) -> int:
@@ -88,6 +119,17 @@ def empty_broadphase_cache(k: int, nb: int, m: int) -> BroadphaseCache:
         pairs=np.zeros((k, nb), np.int32),
         valid=np.zeros((k, nb), bool),
         ref=np.zeros((m, 3), np.float32),
+        fresh=np.asarray(False),
+    )
+
+
+def empty_node_pair_cache(n: int, bwidth: int) -> NodePairCache:
+    """Unpopulated node-pair cache (``fresh=False`` → first use rebuilds)."""
+    return NodePairCache(
+        pi=np.zeros(n * bwidth, np.int32),
+        pj=np.zeros(n * bwidth, np.int32),
+        count=np.asarray(0, np.int32),
+        ref=np.zeros((n, 3), np.float32),
         fresh=np.asarray(False),
     )
 

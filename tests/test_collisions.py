@@ -639,3 +639,82 @@ class TestBroadphaseCache:
         assert not s.sim_failed
         assert p[:, 1].min() > -0.3
         assert p[:, 1].max() < 2.6
+
+
+class TestNodePairCache:
+    """Temporal node-pair caching for the PBD response (state.NodePairCache).
+
+    The cached pair set is a superset of every touching set within the
+    radiusPadding-derived displacement bound, and the response re-tests
+    ``disp > 0`` at current positions — so cached ticks must track
+    per-iteration rebuilds, rebuild on drift, and stop rebuilding at rest."""
+
+    def _pile(self, n=12, seed=0):
+        # Within the per-cell budget (max_entries_per_cell=16) even if every
+        # node transits one cell: below budget, the cached pair superset and
+        # per-iteration rebuilds must agree exactly (beyond budget, builds at
+        # different positions drop different pairs — graceful, not equal).
+        rng = np.random.default_rng(seed)
+        pos = rng.uniform(
+            [-1.5, 1.0, -1.5], [1.5, 3.0, 1.5], (n, 3)
+        ).astype(np.float32)
+        s = Solver(
+            SolverOptions(solver=SolverName.PBD, iterations=4),
+            enable_collisions=True,
+        )
+        s.add_nodes(pos)
+        s._prepare()
+        assert s._state.nn is not None
+        return s
+
+    def test_cached_ticks_match_uncached(self):
+        import dataclasses
+
+        sa = self._pile()
+        sb = self._pile()
+        # Disable the cache on sb: rebuild-every-iteration reference run.
+        sb._state = dataclasses.replace(sb._state, nn=None)
+        for t in range(6):
+            sa.tick()
+            sb.tick()
+            pa = sa.get_vertices()["position"]
+            pb = sb.get_vertices()["position"]
+            # Identical pair supersets + exact disp re-test: only scatter
+            # summation order differs.
+            np.testing.assert_allclose(pa, pb, atol=5e-4)
+        assert not sa.sim_failed and not sb.sim_failed
+
+    def test_rebuild_on_drift_catches_new_contacts(self):
+        # Two nodes start far apart (no shared cell at build time) and fly
+        # toward each other; a never-rebuilt cache would let them tunnel
+        # straight through.
+        s = Solver(
+            SolverOptions(solver=SolverName.PBD, iterations=4, gravity=0.0),
+            enable_collisions=True,
+        )
+        s.add_nodes(np.array([[-6, 5, 0], [6, 5, 0]], np.float32))
+        import dataclasses
+
+        s._prepare()
+        vel = np.zeros_like(np.asarray(s._state.velocities))
+        vel[0] = [8, 0, 0]
+        vel[1] = [-8, 0, 0]
+        s._state = dataclasses.replace(s._state, velocities=jnp.asarray(vel))
+        for _ in range(80):
+            s.tick()
+        p = s.get_vertices()["position"]
+        # They collided and separated along x — never interpenetrated deeply
+        # nor tunneled through to swap sides by more than a radius.
+        d = abs(float(p[1, 0] - p[0, 0]))
+        assert d > 0.7, f"nodes tunneled through each other (gap {d})"
+        assert not s.sim_failed
+
+    def test_cache_reuses_at_rest(self):
+        s = self._pile()
+        for _ in range(150):
+            s.tick()
+        ref1 = np.asarray(s._state.nn.ref)
+        s.tick()
+        ref2 = np.asarray(s._state.nn.ref)
+        assert bool(s._state.nn.fresh)
+        assert np.array_equal(ref1, ref2), "settled pile rebuilt its cache"
