@@ -198,12 +198,76 @@ def pd_substep(
             pt_idx=jnp.zeros((0, 4), jnp.int32),
             pt_mask=jnp.zeros((0,), colls.pt_mask.dtype),
         )
-        x, quats, residual, static_proj = jax.lax.cond(
-            jnp.sum(colls.pt_mask) > 0,
-            run_iters(colls, pt_diag),
-            run_iters(colls_free, jnp.zeros_like(pt_diag)),
-            carry0,
-        )
+
+        def run_iters_direct(carry):
+            # Prefactorized DIRECT solve: with zero contact-diagonal data
+            # the system equals the static one whose exact dense inverse is
+            # precomputed (Topology.inv_dense — the reference's LLT,
+            # Solver.cpp:212-215), so the global step is ONE MXU matmul.
+            # The CG call it replaces costs ~0.7 ms/iteration in while-loop
+            # trips and matvecs on small scenes — the dominant PD-loop cost
+            # on a calm cloth tick.
+            def iteration(_, c):
+                x, quats, _, _, _ = c
+                local = assembly.local_step(
+                    x, state.inv_mass, state.mass, quats, topo, colls_free,
+                    params.collision_thickness, params.floor_height,
+                    config.rotation_iterations, config.reference_quirks,
+                    config.strain_contiguous, config.volume_contiguous,
+                    radius=state.radius, pt_full=False,
+                    tet_fused=config.tet_fused,
+                )
+                force = assembly.assemble_force(
+                    msn_h2, local, topo, colls_free,
+                    config.strain_contiguous, config.volume_contiguous,
+                    contact_coupling=config.contact_coupling,
+                    x=x, pt_diag=jnp.zeros_like(pt_diag),
+                    tet_fused=config.tet_fused,
+                )
+                x_new = jnp.einsum(
+                    "ij,jd->id", inv_dense, force,
+                    preferred_element_type=jnp.float32,
+                )
+                x_new = jnp.where(mask > 0, x_new, x)
+                return x_new, local.quats, jnp.asarray(0.0, x.dtype), \
+                    local.static, force
+
+            import os as _os2
+            if _os2.environ.get("PIES_UNROLL"):
+                c = carry + (jnp.zeros_like(carry[0]),)
+                for _i in range(config.iterations):
+                    c = iteration(_i, c)
+                x, quats, _, static_proj, force = c
+            else:
+                x, quats, _, static_proj, force = jax.lax.fori_loop(
+                    0, config.iterations, iteration,
+                    carry + (jnp.zeros_like(carry[0]),),
+                )
+            # Exact-solve residual for the observability counters: one
+            # matvec AFTER the loop instead of a CG trip inside it.
+            r = force - matvec(x)
+            return x, quats, jnp.sqrt(jnp.sum(r * r)), static_proj
+
+        def run_cg(carry):
+            return jax.lax.cond(
+                jnp.sum(colls.pt_mask) > 0,
+                run_iters(colls, pt_diag),
+                run_iters(colls_free, jnp.zeros_like(pt_diag)),
+                carry,
+            )
+
+        import os as _os
+        if inv_dense is not None and _os.environ.get("PIES_FORCE_DIRECT"):
+            x, quats, residual, static_proj = run_iters_direct(carry0)
+        elif inv_dense is not None:
+            contact_free = (jnp.sum(colls.pt_mask) <= 0) & (
+                jnp.sum(static_diag) <= 0
+            )
+            x, quats, residual, static_proj = jax.lax.cond(
+                contact_free, run_iters_direct, run_cg, carry0
+            )
+        else:
+            x, quats, residual, static_proj = run_cg(carry0)
     else:
         x, quats, residual, static_proj = run_iters(colls, pt_diag)(carry0)
     # ``static_proj`` is the final local step's static projection — the
