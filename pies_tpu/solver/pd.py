@@ -20,6 +20,8 @@ round-trips.
 
 from __future__ import annotations
 
+import os
+import warnings
 from dataclasses import replace
 from functools import partial
 
@@ -34,7 +36,24 @@ from ..collision.batches import (
 from ..options import PhysicsParams, StepConfig
 from ..state import SolverState
 from ..topology import Topology
+from ..ops.precision import einsum as _einsum
 from . import assembly, tetcols
+
+# Debug flags, captured ONCE at import time.  Both are read during tracing,
+# so whatever value is seen at first compile is baked into the jit cache —
+# flipping the env var afterwards has no effect.
+_UNROLL = bool(os.environ.get("PIES_UNROLL"))
+# DEBUG ONLY: forces the prefactorized direct solve even when contacts are
+# live, silently dropping every contact constraint from the global step —
+# wrong physics on any contact-active scene.  Never set during benchmarks.
+_FORCE_DIRECT = bool(os.environ.get("PIES_FORCE_DIRECT"))
+if _FORCE_DIRECT:
+    warnings.warn(
+        "PIES_FORCE_DIRECT is set: the PD global step will use the"
+        " contact-free prefactorized inverse even when contacts are live."
+        " This drops contact constraints from the solve — debug only.",
+        stacklevel=1,
+    )
 
 
 def pd_substep(
@@ -124,38 +143,45 @@ def pd_substep(
             assembly.tet_block_factor(diag, topo.tet_block6),
         )
 
+    def local_and_force(x, quats, colls_it, pt_diag_it):
+        # The shared local-step + force-assembly body of one PD iteration
+        # (Solver.cpp:264-349) — used by both the CG and the prefactorized
+        # direct global-step paths so the two can never desynchronize.
+        local = assembly.local_step(
+            x,
+            state.inv_mass,
+            state.mass,
+            quats,
+            topo,
+            colls_it,
+            params.collision_thickness,
+            params.floor_height,
+            config.rotation_iterations,
+            config.reference_quirks,
+            config.strain_contiguous,
+            config.volume_contiguous,
+            radius=state.radius,
+            pt_full=(config.contact_coupling == "full"),
+            tet_fused=config.tet_fused,
+        )
+        force = assembly.assemble_force(
+            msn_h2,
+            local,
+            topo,
+            colls_it,
+            config.strain_contiguous,
+            config.volume_contiguous,
+            contact_coupling=config.contact_coupling,
+            x=x,
+            pt_diag=pt_diag_it,
+            tet_fused=config.tet_fused,
+        )
+        return local, force
+
     def make_iteration(colls_it, pt_diag_it):
         def iteration(_, carry):
             x, quats, residual, _ = carry
-            local = assembly.local_step(
-                x,
-                state.inv_mass,
-                state.mass,
-                quats,
-                topo,
-                colls_it,
-                params.collision_thickness,
-                params.floor_height,
-                config.rotation_iterations,
-                config.reference_quirks,
-                config.strain_contiguous,
-                config.volume_contiguous,
-                radius=state.radius,
-                pt_full=(config.contact_coupling == "full"),
-                tet_fused=config.tet_fused,
-            )
-            force = assembly.assemble_force(
-                msn_h2,
-                local,
-                topo,
-                colls_it,
-                config.strain_contiguous,
-                config.volume_contiguous,
-                contact_coupling=config.contact_coupling,
-                x=x,
-                pt_diag=pt_diag_it,
-                tet_fused=config.tet_fused,
-            )
+            local, force = local_and_force(x, quats, colls_it, pt_diag_it)
             x_new, residual = assembly.pcg_solve(
                 lambda v: matvec(v), force, x, diag, config.cg_iterations,
                 rtol=config.cg_rtol, inv_dense=inv_dense,
@@ -209,31 +235,20 @@ def pd_substep(
             # on a calm cloth tick.
             def iteration(_, c):
                 x, quats, _, _, _ = c
-                local = assembly.local_step(
-                    x, state.inv_mass, state.mass, quats, topo, colls_free,
-                    params.collision_thickness, params.floor_height,
-                    config.rotation_iterations, config.reference_quirks,
-                    config.strain_contiguous, config.volume_contiguous,
-                    radius=state.radius, pt_full=False,
-                    tet_fused=config.tet_fused,
+                local, force = local_and_force(
+                    x, quats, colls_free, jnp.zeros_like(pt_diag)
                 )
-                force = assembly.assemble_force(
-                    msn_h2, local, topo, colls_free,
-                    config.strain_contiguous, config.volume_contiguous,
-                    contact_coupling=config.contact_coupling,
-                    x=x, pt_diag=jnp.zeros_like(pt_diag),
-                    tet_fused=config.tet_fused,
-                )
-                x_new = jnp.einsum(
-                    "ij,jd->id", inv_dense, force,
-                    preferred_element_type=jnp.float32,
-                )
+                # Full-precision contraction: this matmul IS the global
+                # solve, and the TPU's default bf16 matmul inputs would put
+                # ~3-digit noise on every contact-free substep position
+                # (see ops/precision.py; pcg_solve's inv_dense precondition
+                # uses the same wrapper).
+                x_new = _einsum("ij,jd->id", inv_dense, force)
                 x_new = jnp.where(mask > 0, x_new, x)
                 return x_new, local.quats, jnp.asarray(0.0, x.dtype), \
                     local.static, force
 
-            import os as _os2
-            if _os2.environ.get("PIES_UNROLL"):
+            if _UNROLL:
                 c = carry + (jnp.zeros_like(carry[0]),)
                 for _i in range(config.iterations):
                     c = iteration(_i, c)
@@ -244,9 +259,15 @@ def pd_substep(
                     carry + (jnp.zeros_like(carry[0]),),
                 )
             # Exact-solve residual for the observability counters: one
-            # matvec AFTER the loop instead of a CG trip inside it.
-            r = force - matvec(x)
-            return x, quats, jnp.sqrt(jnp.sum(r * r)), static_proj
+            # matvec AFTER the loop instead of a CG trip inside it.  With
+            # zero iterations the force carry is all-zero and the residual
+            # would be garbage — report 0.0 like the CG path does.
+            if config.iterations > 0:
+                r = force - matvec(x)
+                residual = jnp.sqrt(jnp.sum(r * r))
+            else:
+                residual = jnp.asarray(0.0, x.dtype)
+            return x, quats, residual, static_proj
 
         def run_cg(carry):
             return jax.lax.cond(
@@ -256,8 +277,7 @@ def pd_substep(
                 carry,
             )
 
-        import os as _os
-        if inv_dense is not None and _os.environ.get("PIES_FORCE_DIRECT"):
+        if inv_dense is not None and _FORCE_DIRECT:
             x, quats, residual, static_proj = run_iters_direct(carry0)
         elif inv_dense is not None:
             contact_free = (jnp.sum(colls.pt_mask) <= 0) & (
