@@ -197,6 +197,30 @@ class StepConfig:
     body_nodes: int = 0
     body_node_offset: int = 0
     body_faces: tuple = ()
+    # Super-body broadphase (the GENERAL fast path, set by the host when the
+    # scene has triangles but no all-covering uniform body layout): bodies
+    # 0..super_packed_k-1 are a uniform packed prefix (super_packed_m
+    # contiguous nodes each starting at super_packed_off — e.g. the tet soup
+    # part of a mixed scene), every remaining triangle is its own "loose"
+    # body with explicit corner indices (Topology.super_corners, rows padded
+    # to the packed corner width).  One grid, one narrowphase, one temporal
+    # cache cover both classes; pure-loose scenes (cloth, shared-node
+    # surface meshes) run with super_packed_k == 0.  Shared-node pair
+    # exclusion (Solver.cpp:757-770) is STATIC topology and pre-dropped at
+    # candidate time via Topology.super_adj.  super_k == 0 disables.
+    super_k: int = 0  # total body rows (incl. padding)
+    super_packed_k: int = 0  # leading uniform packed bodies
+    super_packed_m: int = 0  # nodes per packed body
+    super_packed_off: int = 0  # first node id of packed body 0
+    super_live_k: int = 0  # live rows (packed + real loose)
+    # Local corner patterns for every face slot; the first super_packed_e
+    # entries are the packed bodies' faces, slot super_loose_face (= index of
+    # (0, 1, 2), appended if absent; -1 when no loose rows) is the single
+    # face of a loose triangle row.  Corner-slot width x len(super_faces)
+    # must fit the 32-bit combo mask.
+    super_faces: tuple = ()
+    super_packed_e: int = 0
+    super_loose_face: int = -1
     # Temporal broadphase caching for the packed-body path: reuse the
     # candidate-pair buffer across substeps until some node moves more than
     # ``PhysicsParams.broadphase_slack`` from the cached reference (see
@@ -218,6 +242,26 @@ class StepConfig:
     #    stacked bodies sank — is superseded; the string is kept as an alias
     #    of the corrected form.)
     contact_coupling: str = "full"
+    # Colored Gauss-Seidel for the PBD distance projection: cumulative END
+    # offsets of the color classes in the (host-reordered) distance batch.
+    # The reference projects constraints sequentially in place
+    # (Constraints.h:121-129, applied at Solver.cpp:59-75) — tension
+    # propagates through a whole chain per iteration, which the batched
+    # Jacobi form cannot do (it diverges beyond ~32 chain links at 4
+    # iterations, FIDELITY.md #19).  A build-time greedy coloring groups
+    # conflict-free constraints; classes are projected sequentially inside
+    # the jitted iteration with the reference's exact per-constraint update
+    # (no count-averaging — within a class no node is touched twice), so
+    # every projection reads fully-updated positions of every conflicting
+    # constraint.  Empty = the legacy count-averaged Jacobi form.
+    distance_colors: tuple = ()
+    # EXACT sequential PBD distance projection for chain scenes (ropes):
+    # the host detected that the constraints partition into node-disjoint
+    # chase chains (Topology.chains) and a lax.scan down the link axis
+    # reproduces the reference's in-emission-order projection exactly —
+    # tension traverses a whole rope per iteration (Solver.cpp:65-67).
+    # Takes precedence over distance_colors.
+    distance_chain: bool = False
     # Tet-column PD fast path (solver/tetcols.py): for disjoint-tet scenes
     # with diagonal-only contact coupling the global system is exactly
     # block-diagonal, and the whole local/force/solve iteration runs in

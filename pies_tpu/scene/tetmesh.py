@@ -32,6 +32,7 @@ def tetrahedralize(
     tri_indices: np.ndarray,
     resolution: int = 8,
     snap_surface: bool = True,
+    target_tets: int | None = None,
 ):
     """Tet-mesh the volume enclosed by a closed triangle mesh.
 
@@ -42,9 +43,31 @@ def tetrahedralize(
     approaching the conformity of the reference's tetgen import
     (``PrimitiveUtilities.cpp:183-241``) without a constrained Delaunay
     dependency.
+
+    ``target_tets`` is the element budget (the analog of tetgen's ``a`` max
+    tet-volume switch, which the reference sizes its imports with —
+    ``PrimitiveUtilities.cpp:212-241``): the lattice emits 6 tets per
+    interior cell, so the cell size that lands the budget is
+    ``h = (6·V / target)^(1/3)`` with ``V`` the enclosed volume (divergence
+    theorem over the input surface).  The derived resolution OVERRIDES
+    ``resolution``; the realized count tracks the budget to within the
+    surface-voxelization error (asserted loosely in tests — boundary cells
+    straddle the surface, so exactness is impossible for lattice stuffing).
     """
     vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
     tris = np.asarray(tri_indices, np.int32).reshape(-1, 3)
+
+    if target_tets is not None:
+        if target_tets < 6:
+            raise ValueError("target_tets must be >= 6 (one interior cell)")
+        vol = enclosed_volume(vertices, tris)
+        if vol <= 0:
+            raise ValueError("mesh encloses no volume")
+        h = (6.0 * vol / float(target_tets)) ** (1.0 / 3.0)
+        extent = float(
+            (vertices.max(axis=0) - vertices.min(axis=0)).max()
+        )
+        resolution = max(2, int(round(extent / h)))
 
     native = native_load.try_load()
     if native is not None:
@@ -54,6 +77,15 @@ def tetrahedralize(
     if snap_surface:
         points = snap_boundary_to_surface(points, tets, surface, vertices, tris)
     return points, tets, surface
+
+
+def enclosed_volume(vertices: np.ndarray, tris: np.ndarray) -> float:
+    """Volume enclosed by a closed triangle mesh (divergence theorem:
+    ``V = |Σ a·(b×c)| / 6`` over the faces; winding-sign folded out)."""
+    a = vertices[tris[:, 0]].astype(np.float64)
+    b = vertices[tris[:, 1]].astype(np.float64)
+    c = vertices[tris[:, 2]].astype(np.float64)
+    return float(abs(np.einsum("ki,ki->", a, np.cross(b, c))) / 6.0)
 
 
 def _tetrahedralize_numpy(vertices, tris, resolution):

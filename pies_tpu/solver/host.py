@@ -49,6 +49,206 @@ def _round_up8(n: int) -> int:
     return max(8, -(-n // 8) * 8)
 
 
+def _detect_chains(idx: np.ndarray, rest: np.ndarray, w: np.ndarray):
+    """Partition distance constraints into chase chains (see
+    ``topology.ChainBatch``): split at every ``idx1[j] != idx0[j-1]``;
+    valid iff all written nodes (``idx0``) are globally unique and no
+    chain anchor is ever written.  Returns ``(idx0 [C, L], anchor [C],
+    rest [C, L], w [C, L])`` padded arrays or None."""
+    n = idx.shape[0]
+    if n == 0:
+        return None
+    if np.unique(idx[:, 0]).size != n:
+        return None
+    brk = np.concatenate([[True], idx[1:, 1] != idx[:-1, 0]])
+    starts = np.nonzero(brk)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    anchors = idx[starts, 1]
+    if np.intersect1d(anchors, idx[:, 0]).size:
+        return None
+    c = starts.shape[0]
+    lmax = int((ends - starts).max())
+    idx0 = np.zeros((c, lmax), np.int32)
+    rest_t = np.zeros((c, lmax), np.float32)
+    w_t = np.zeros((c, lmax), np.float32)  # padding links stay w=0
+    for ci, (s0, e0) in enumerate(zip(starts, ends)):
+        ln = e0 - s0
+        idx0[ci, :ln] = idx[s0:e0, 0]
+        rest_t[ci, :ln] = rest[s0:e0]
+        w_t[ci, :ln] = w[s0:e0]
+    return idx0, anchors.astype(np.int32), rest_t, w_t
+
+
+def _color_distance(idx: np.ndarray, max_colors: int = 63):
+    """Greedy first-fit coloring of distance constraints: two constraints
+    conflict when they share ANY node (covers both write-write on idx0 and
+    write-read between idx0/idx1 under the asymmetric projection,
+    ``Constraints.cpp:29-36``).  Emission order first-fit gives 2 colors on
+    chains and ~node-degree colors on lattices.
+
+    Returns ``(perm, ends)`` — a stable permutation grouping constraints by
+    color and the cumulative end offset of each color class — or ``None``
+    if more than ``max_colors`` colors would be needed (fall back to
+    Jacobi).
+    """
+    n_c = idx.shape[0]
+    used = {}  # node -> bitmask of colors touching it
+    colors = np.empty(n_c, np.int32)
+    for i in range(n_c):
+        a, b = int(idx[i, 0]), int(idx[i, 1])
+        taken = used.get(a, 0) | used.get(b, 0)
+        c = (~taken & (taken + 1)).bit_length() - 1  # lowest zero bit
+        if c >= max_colors:
+            return None
+        colors[i] = c
+        bit = 1 << c
+        used[a] = used.get(a, 0) | bit
+        used[b] = used.get(b, 0) | bit
+    perm = np.argsort(colors, kind="stable")
+    counts = np.bincount(colors)
+    ends = tuple(int(v) for v in np.cumsum(counts))
+    return perm, ends
+
+
+def _detect_super_layout(tris: np.ndarray, bodies: np.ndarray, cap: int):
+    """Detect the super-body collision layout for a general triangle scene
+    (see ``StepConfig.super_*`` and ``broadphase._detect_point_tri_super``).
+
+    * Multi-triangle bodies (``tri_bodies`` runs longer than 1) must ALL
+      share one uniform packed structure — ``e`` triangles over ``m``
+      contiguous nodes at ``off + i*m`` with one local corner pattern
+      (exactly the packed-body precondition, but only over the multi-tri
+      subset).  If they don't, the whole attempt bails (returns None) and
+      detection stays on the per-triangle paths.
+    * Every single-triangle body becomes one loose row with explicit corner
+      ids.
+    * The static shared-node adjacency (every pair of bodies whose node sets
+      intersect — the reference's sweep-time skip, ``Solver.cpp:757-770``) is
+      enumerated once here; a node shared by pathologically many bodies
+      (> 64) bails rather than truncate, since dropping an exclusion would
+      create contacts between glued geometry.
+
+    Returns ``(config_fields, corners i32[K, W], adj i32[K, A] | None)`` or
+    ``None`` when the layout doesn't apply.
+    """
+    nt = tris.shape[0]
+    if nt == 0:
+        return None
+    first = np.concatenate([[True], bodies[1:] != bodies[:-1]])
+    starts = np.nonzero(first)[0]
+    ends = np.concatenate([starts[1:], [nt]])
+    counts = (ends - starts).astype(np.int64)
+    multi = counts > 1
+    kp = int(multi.sum())
+    m, off = 0, 0
+    pat_list: list[tuple[int, int, int]] = []
+    if kp:
+        e = int(counts[multi][0])
+        if not np.all(counts[multi] == e):
+            return None
+        rows = (starts[multi][:, None] + np.arange(e)[None, :]).reshape(-1)
+        tn = tris[rows].reshape(kp, e * 3)
+        mins = tn.min(axis=1)
+        m = int(tn[0].max() - mins[0] + 1)
+        local = tris[rows].reshape(kp, e, 3) - mins[:, None, None]
+        if not (
+            3 <= m <= 8
+            and np.all(tn.max(axis=1) - mins + 1 == m)
+            and np.array_equal(
+                mins, mins[0] + np.arange(kp, dtype=mins.dtype) * m
+            )
+            and np.all(local == local[0])
+        ):
+            return None
+        off = int(mins[0])
+        if off + kp * m > cap:
+            return None
+        pat_list = [tuple(int(v) for v in r) for r in local[0]]
+    e_packed = len(pat_list)
+    loose_tris = tris[np.repeat(~multi, counts)]
+    tl = loose_tris.shape[0]
+    loose_face = -1
+    if tl:
+        loose_face = (
+            pat_list.index((0, 1, 2)) if (0, 1, 2) in pat_list
+            else len(pat_list)
+        )
+        if loose_face == len(pat_list):
+            pat_list.append((0, 1, 2))
+    w_c = m if kp else 3
+    if w_c * len(pat_list) > 32:
+        return None
+    live_k = kp + tl
+    k = _round_up8(live_k)
+    corners = np.zeros((k, w_c), np.int32)
+    if kp:
+        corners[:kp] = off + (
+            np.arange(kp, dtype=np.int32)[:, None] * m
+            + np.arange(m, dtype=np.int32)[None, :]
+        )
+    if tl:
+        corners[kp : kp + tl, :3] = loose_tris
+        if w_c > 3:  # pad by repeating corner 0 (masked out of combos)
+            corners[kp : kp + tl, 3:] = loose_tris[:, :1]
+
+    # Shared-node adjacency: (node, row) incidence -> per-node row groups ->
+    # all ordered intra-group pairs -> per-row neighbor table.
+    inc = np.unique(
+        np.stack(
+            [
+                corners[:live_k].reshape(-1).astype(np.int64),
+                np.repeat(np.arange(live_k, dtype=np.int64), w_c),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    node_ids, row_ids = inc[:, 0], inc[:, 1]
+    uniq, idx_start, g_counts = np.unique(
+        node_ids, return_index=True, return_counts=True
+    )
+    adj = None
+    gmax = int(g_counts.max()) if g_counts.size else 0
+    if gmax > 64:
+        return None
+    if gmax > 1:
+        tab = np.full((uniq.size, gmax), -1, np.int64)
+        pos = np.arange(inc.shape[0]) - np.repeat(idx_start, g_counts)
+        tab[np.repeat(np.arange(uniq.size), g_counts), pos] = row_ids
+        prs = []
+        for a in range(gmax):
+            va = tab[:, a]
+            for bb in range(gmax):
+                if a == bb:
+                    continue
+                vb = tab[:, bb]
+                ok = (va >= 0) & (vb >= 0)
+                if ok.any():
+                    prs.append(np.stack([va[ok], vb[ok]], axis=1))
+        if prs:
+            allp = np.unique(np.concatenate(prs), axis=0)
+            r1, r2 = allp[:, 0], allp[:, 1]
+            uu, st, cc = np.unique(r1, return_index=True, return_counts=True)
+            a_width = int(cc.max())
+            if a_width > 64:
+                return None
+            adj = np.full((k, a_width), -1, np.int32)
+            pos = np.arange(allp.shape[0]) - np.repeat(st, cc)
+            adj[r1, pos] = r2.astype(np.int32)
+
+    fields = dict(
+        super_k=k,
+        super_packed_k=kp,
+        super_packed_m=m,
+        super_packed_off=off,
+        super_live_k=live_k,
+        super_faces=tuple(pat_list),
+        super_packed_e=e_packed,
+        super_loose_face=loose_face,
+    )
+    return fields, corners, adj
+
+
 class Solver:
     def __init__(
         self,
@@ -78,6 +278,11 @@ class Solver:
         contact_coupling: str = "recentered",
         budget: CollisionBudget | None = None,
         node_capacity: int | None = None,
+        # Scenes up to this many (padded) triangles use the exact all-pairs
+        # broadphase instead of the grid (StepConfig.allpairs_broadphase_max);
+        # None keeps the StepConfig default.  Also the lower bound for
+        # super-body layout detection (grid paths only pay off past it).
+        allpairs_broadphase_max: int | None = None,
         # Scenes up to this capacity get the dense prefactorized operator +
         # inverse preconditioner (Topology.ata_dense/inv_dense): tiny ticks
         # are bound by per-op/while-trip overhead, and the [N, N] matmul
@@ -95,6 +300,11 @@ class Solver:
         self._enable_node_collisions = enable_node_collisions
         self._reference_quirks = reference_quirks
         self._broadphase_mode = broadphase_mode
+        self._allpairs_max = (
+            StepConfig.allpairs_broadphase_max
+            if allpairs_broadphase_max is None
+            else allpairs_broadphase_max
+        )
         self._contact_coupling = contact_coupling
         self._broadphase_cell = 1.0
         self._budget = budget
@@ -201,14 +411,20 @@ class Solver:
         volume_stiffness=1000.0,
         compression=1.0,
         stretching=1.0,
+        resolution=8,
+        target_tets=None,
     ):
         """Tetrahedralize a closed triangle mesh and add it as a soft body —
         the ``addTriMeshVolume`` path (``PrimitiveUtilities.cpp:164-328``),
-        with the native tet mesher replacing tetgen."""
+        with the native tet mesher replacing tetgen.  ``target_tets`` is the
+        element budget (the analog of tetgen's max-volume switch the
+        reference sizes imports with); when given it overrides
+        ``resolution`` — see ``scene.tetmesh.tetrahedralize``."""
         from ..scene.tetmesh import tetrahedralize
 
         points, tets, surface = tetrahedralize(
-            np.asarray(vertices, _F32), np.asarray(tri_indices, np.int32)
+            np.asarray(vertices, _F32), np.asarray(tri_indices, np.int32),
+            resolution=resolution, target_tets=target_tets,
         )
         b = self._builder
         node_ids = b._emit_nodes(
@@ -302,6 +518,30 @@ class Solver:
             return np.concatenate(lst) if lst else np.zeros(shape, _F32)
 
         dist_idx = cat(b.dist_idx, (0, 2)).astype(np.int32)
+        dist_w = cat(b.dist_w, (0,))
+        # Colored Gauss-Seidel for PBD distance projection (see
+        # StepConfig.distance_colors): reorder the batch into color classes
+        # at build time; the PBD iteration projects classes sequentially.
+        distance_colors = ()
+        distance_chain = False
+        chains_np = None
+        if self._options.solver.name == "PBD" and dist_idx.shape[0] > 1:
+            dw = np.broadcast_to(
+                np.asarray(dist_w, _F32), (dist_idx.shape[0],)
+            )
+            rest_np = np.linalg.norm(
+                positions[dist_idx[:, 1]] - positions[dist_idx[:, 0]],
+                axis=-1,
+            ).astype(_F32)
+            chains_np = _detect_chains(dist_idx, rest_np, dw)
+            if chains_np is not None:
+                distance_chain = True  # exact sequential (ropes)
+            else:
+                colored = _color_distance(dist_idx)
+                if colored is not None and len(colored[1]) > 1:
+                    perm, distance_colors = colored
+                    dist_idx = dist_idx[perm]
+                    dist_w = dw[perm]
         tris = cat(b.triangles, (0, 3)).astype(np.int32)
         bodies = (
             np.concatenate(b.tri_bodies).astype(np.int32)
@@ -310,9 +550,7 @@ class Solver:
             else None
         )
         batches = dict(
-            distance=topo_mod.build_distance(
-                dist_idx, positions, cat(b.dist_w, (0,))
-            ),
+            distance=topo_mod.build_distance(dist_idx, positions, dist_w),
             position=topo_mod.build_position(
                 cat(b.pos_idx, (0,)).astype(np.int32), positions, cat(b.pos_w, (0,))
             ),
@@ -355,6 +593,124 @@ class Solver:
             tri_bodies=bodies,
             **batches,
         )
+        if chains_np is not None:
+            c_idx0, c_anchor, c_rest, c_w = chains_np
+            topology = dataclasses.replace(
+                topology,
+                chains=topo_mod.ChainBatch(
+                    idx0=jnp.asarray(c_idx0),
+                    anchor=jnp.asarray(c_anchor),
+                    rest=jnp.asarray(c_rest),
+                    w=jnp.asarray(c_w),
+                ),
+            )
+
+        budget = self._budget or self._auto_budget(positions, tris, bodies)
+
+        def _is_contiguous(idx_list):
+            if not idx_list:
+                return False
+            idx = np.concatenate(idx_list)
+            n4 = idx.size
+            cap4 = 4 * _round_up8(idx.shape[0])
+            return (
+                cap4 <= cap
+                and np.array_equal(idx.reshape(-1), np.arange(n4, dtype=idx.dtype))
+            )
+
+        strain_contiguous = _is_contiguous(b.strain_idx)
+        volume_contiguous = _is_contiguous(b.volume_idx)
+        # Fused strain+volume local step: valid when both constraint sets
+        # cover the same tets in the same order (identical A matrices; the
+        # builders emit one of each per tet, mirroring
+        # PrimitiveUtilities.cpp:287-316).
+        tet_fused = (
+            bool(b.strain_idx)
+            and len(b.strain_idx) == len(b.volume_idx)
+            and all(
+                np.array_equal(si, vi)
+                for si, vi in zip(b.strain_idx, b.volume_idx)
+            )
+            and strain_contiguous == volume_contiguous
+        )
+        # Packed-body layout: every body owns m contiguous nodes and its
+        # stride triangles share one local corner pattern -> the broadphase
+        # runs fully packed (collision/broadphase._detect_point_tri_bodies_
+        # packed).  Tet soups satisfy this by construction.
+        body_nodes, body_off, body_faces = 0, 0, ()
+        e = budget.body_stride
+        if e > 1 and tris.shape[0]:
+            kb = tris.shape[0] // e
+            tn = tris.reshape(kb, e * 3)
+            mins = tn.min(axis=1)
+            m = int(tn[0].max() - mins[0] + 1)
+            local = tris.reshape(kb, e, 3) - mins[:, None, None]
+            padded_t = int(topology.triangles.shape[0])
+            if (
+                m <= 8
+                and padded_t % e == 0
+                and np.all(tn.max(axis=1) - mins + 1 == m)
+                and np.array_equal(
+                    mins, mins[0] + np.arange(kb, dtype=mins.dtype) * m
+                )
+                and np.all(local == local[0])
+                and int(mins[0]) + (padded_t // e) * m <= cap
+            ):
+                body_nodes, body_off = m, int(mins[0])
+                body_faces = tuple(
+                    tuple(int(v) for v in row) for row in local[0]
+                )
+        # Super-body layout (the GENERAL fast path): any triangle scene with
+        # no all-covering uniform body stride — packed prefix + loose rows,
+        # shared-node exclusion as static topology (broadphase.
+        # _detect_point_tri_super).  Small scenes keep the exact all-pairs
+        # path instead.
+        super_fields = {}
+        if (
+            body_nodes == 0
+            and budget.body_stride == 1
+            and self._enable_collisions
+            and self._broadphase_mode == "celllist"
+            and bodies is not None
+            and tris.shape[0] > self._allpairs_max
+        ):
+            sup = _detect_super_layout(tris, bodies, cap)
+            if sup is not None:
+                super_fields, sc_np, adj_np = sup
+                topology = dataclasses.replace(
+                    topology,
+                    super_corners=sc_np,
+                    super_adj=adj_np,
+                )
+                if self._budget is None:
+                    # Body-granular narrow budget (see _auto_budget's
+                    # stride>1 rationale): adjacency pre-drop keeps mesh
+                    # neighbors out, so narrow slots hold true contacts
+                    # only.  The raw entry budget must absorb mesh-adjacent
+                    # entries BEFORE that drop (a cloth body's cell window
+                    # holds ~20 statically-excluded neighbors; the packed
+                    # soup's 24 sufficed because its bodies are disjoint) —
+                    # gather width adapts to the live maximum, so settled
+                    # scenes still run the narrow tiers.
+                    # nbw 64: a mixed pile's densest body (soup tet under
+                    # fully draped cloth) sees ~32 exact-tier AABB overlaps
+                    # and ~43 slack-inflated ones once SETTLED (measured at
+                    # the pre-latch tick of the small mixed drape scene —
+                    # 32 hit the old nbw=32 budget exactly and latched);
+                    # exact-tier overflow LATCHES sim failure rather than
+                    # dropping contacts, so the budget needs 2x headroom.
+                    # bmax 512: raw per-row entry totals reach ~234 in the
+                    # same resting drape (every cloth triangle is its own
+                    # body, so a soup body's 27-cell window collects ~9
+                    # entries/cell) and gather truncation also latches.
+                    # Width-adaptive phase-1/gather tiers keep calm-scene
+                    # cost at the live width, not the static budget.
+                    budget = dataclasses.replace(
+                        budget,
+                        max_narrow_bodies=64,
+                        max_candidates_per_body=512,
+                    )
+
         # One batched transfer for the whole scene (state + topology):
         # per-array uploads through a remote-TPU tunnel measured ~5s each.
         self._state, self._topology = jax.device_put((self._state, topology))
@@ -414,61 +770,6 @@ class Solver:
                     **extra,
                 )
 
-        budget = self._budget or self._auto_budget(positions, tris, bodies)
-
-        def _is_contiguous(idx_list):
-            if not idx_list:
-                return False
-            idx = np.concatenate(idx_list)
-            n4 = idx.size
-            cap4 = 4 * _round_up8(idx.shape[0])
-            return (
-                cap4 <= cap
-                and np.array_equal(idx.reshape(-1), np.arange(n4, dtype=idx.dtype))
-            )
-
-        strain_contiguous = _is_contiguous(b.strain_idx)
-        volume_contiguous = _is_contiguous(b.volume_idx)
-        # Fused strain+volume local step: valid when both constraint sets
-        # cover the same tets in the same order (identical A matrices; the
-        # builders emit one of each per tet, mirroring
-        # PrimitiveUtilities.cpp:287-316).
-        tet_fused = (
-            bool(b.strain_idx)
-            and len(b.strain_idx) == len(b.volume_idx)
-            and all(
-                np.array_equal(si, vi)
-                for si, vi in zip(b.strain_idx, b.volume_idx)
-            )
-            and strain_contiguous == volume_contiguous
-        )
-        # Packed-body layout: every body owns m contiguous nodes and its
-        # stride triangles share one local corner pattern -> the broadphase
-        # runs fully packed (collision/broadphase._detect_point_tri_bodies_
-        # packed).  Tet soups satisfy this by construction.
-        body_nodes, body_off, body_faces = 0, 0, ()
-        e = budget.body_stride
-        if e > 1 and tris.shape[0]:
-            kb = tris.shape[0] // e
-            tn = tris.reshape(kb, e * 3)
-            mins = tn.min(axis=1)
-            m = int(tn[0].max() - mins[0] + 1)
-            local = tris.reshape(kb, e, 3) - mins[:, None, None]
-            padded_t = int(topology.triangles.shape[0])
-            if (
-                m <= 8
-                and padded_t % e == 0
-                and np.all(tn.max(axis=1) - mins + 1 == m)
-                and np.array_equal(
-                    mins, mins[0] + np.arange(kb, dtype=mins.dtype) * m
-                )
-                and np.all(local == local[0])
-                and int(mins[0]) + (padded_t // e) * m <= cap
-            ):
-                body_nodes, body_off = m, int(mins[0])
-                body_faces = tuple(
-                    tuple(int(v) for v in row) for row in local[0]
-                )
         # Cell-list cell size: largest triangle extent with headroom for
         # deformation and per-substep sweep; retunable without recompiling.
         if tris.shape[0]:
@@ -497,6 +798,10 @@ class Solver:
             body_node_offset=body_off,
             body_faces=body_faces,
             budget=budget,
+            distance_colors=distance_colors,
+            distance_chain=distance_chain,
+            allpairs_broadphase_max=self._allpairs_max,
+            **super_fields,
         )
         # Temporal broadphase cache for the packed-body path (see
         # state.BroadphaseCache): sized per scene, reset on every prepare
@@ -519,6 +824,20 @@ class Solver:
                     jnp.asarray,
                     empty_broadphase_cache(
                         kb, budget.max_narrow_bodies, kb * body_nodes
+                    ),
+                ),
+            )
+        elif super_fields:
+            # Super-body temporal cache: displacement reference spans ALL
+            # nodes (packed blocks + loose corners both live there).
+            self._state = dataclasses.replace(
+                self._state,
+                bp=jax.tree.map(
+                    jnp.asarray,
+                    empty_broadphase_cache(
+                        super_fields["super_k"],
+                        budget.max_narrow_bodies,
+                        int(self._state.capacity),
                     ),
                 ),
             )

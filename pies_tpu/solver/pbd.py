@@ -88,10 +88,76 @@ def pbd_substep(
         # asymmetric projection (Constraints.cpp:34); node 1's delta is
         # identically zero, so it is excluded from the averaging count.
         d = topo.distance
-        active = jnp.stack(
-            [jnp.ones_like(d.w, bool), jnp.zeros_like(d.w, bool)], axis=-1
-        )
-        x = _apply_jacobi(x, d.idx, proj.project_distance(x, d), d.w, active)
+        if config.distance_chain and topo.chains is not None:
+            # EXACT sequential projection for chain scenes (ropes): the
+            # constraints partition into node-disjoint chase chains
+            # (topology.ChainBatch), so a lax.scan down the link axis with
+            # the carry holding the just-updated chase target reproduces
+            # the reference's in-emission-order projection bit-for-bit —
+            # tension traverses a whole rope in ONE iteration
+            # (Constraints.h:121-129 applied at Solver.cpp:65-67).  Every
+            # written node is globally unique, so reading its own position
+            # from the pre-iteration x is exact, and all deltas scatter
+            # once after the scan (w=0 padding links add zero).
+            ch = topo.chains
+
+            def link(tgt, inputs):
+                i0, rest, w = inputs  # [C] each
+                pa = x[i0]
+                diff = tgt - pa
+                dist = jnp.linalg.norm(diff, axis=-1)
+                safe = dist > 1e-5
+                dir_ = jnp.where(
+                    safe[:, None],
+                    diff / jnp.maximum(dist, 1e-20)[:, None],
+                    jnp.array([1.0, 0.0, 0.0], dtype=x.dtype),
+                )
+                disp = rest - dist
+                # proj0 − pa = −disp·dir (Constraints.cpp:29-36)
+                delta = w[:, None] * (-disp[:, None] * dir_)
+                return pa + delta, delta
+
+            _, deltas = jax.lax.scan(
+                link, x[ch.anchor], (ch.idx0.T, ch.rest.T, ch.w.T)
+            )  # deltas [L, C, 3]
+            x = x.at[ch.idx0.T.reshape(-1)].add(deltas.reshape(-1, 3))
+        elif config.distance_colors:
+            # Colored Gauss-Seidel (StepConfig.distance_colors): project
+            # color classes sequentially with the reference's exact
+            # per-constraint update pos0 += w·(proj0 − pos0) — within a
+            # class no node repeats, so no averaging and no write races;
+            # each class reads positions updated by every previous class,
+            # restoring the sequential projection's tension propagation
+            # (Constraints.h:121-129 at Solver.cpp:65-67) that the batched
+            # Jacobi form loses on long chains (FIDELITY.md #19).
+            s0 = 0
+            for e0 in config.distance_colors:
+                i0 = d.idx[s0:e0, 0]
+                i1 = d.idx[s0:e0, 1]
+                pa = x[i0]
+                pb = x[i1]
+                diff = pb - pa
+                dist = jnp.linalg.norm(diff, axis=-1)
+                safe = dist > 1e-5
+                dir_ = jnp.where(
+                    safe[:, None],
+                    diff / jnp.maximum(dist, 1e-20)[:, None],
+                    jnp.array([1.0, 0.0, 0.0], dtype=x.dtype),
+                )
+                disp = d.rest[s0:e0] - dist
+                # proj0 − pa = −disp·dir (Constraints.cpp:29-36)
+                x = x.at[i0].add(
+                    d.w[s0:e0, None] * (-disp[:, None] * dir_)
+                )
+                s0 = e0
+        else:
+            active = jnp.stack(
+                [jnp.ones_like(d.w, bool), jnp.zeros_like(d.w, bool)],
+                axis=-1,
+            )
+            x = _apply_jacobi(
+                x, d.idx, proj.project_distance(x, d), d.w, active
+            )
 
         # Tetrahedral strain (Solver.cpp:69-71).  Quirk mode reproduces the
         # reference faithfully: the projection lives in differential

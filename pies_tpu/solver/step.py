@@ -60,12 +60,14 @@ def default_detect_collisions(state, x, topo, params, config: StepConfig):
             pt_idx, pt_mask, overflow, new_bp = detect_point_tri_collisions(
                 x, state.prev_positions, topo.triangles, topo.tri_mask,
                 params, config, cache=bp,
+                corners=topo.super_corners, adj=topo.super_adj,
             )
             colls = replace(colls, bp=new_bp)
         else:
             pt_idx, pt_mask, overflow = detect_point_tri_collisions(
                 x, state.prev_positions, topo.triangles, topo.tri_mask,
                 params, config,
+                corners=topo.super_corners, adj=topo.super_adj,
             )
         colls = replace(
             colls, pt_idx=pt_idx, pt_mask=pt_mask, overflow=overflow

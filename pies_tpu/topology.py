@@ -104,6 +104,31 @@ class BendBatch:
 
 @jax.tree_util.register_dataclass
 @dataclass
+class ChainBatch:
+    """Chain-structured distance constraints for the EXACT sequential PBD
+    projection (``Constraints.h:121-129`` applied in emission order at
+    ``Solver.cpp:65-67``).
+
+    When every distance constraint writes a unique node (asymmetric
+    projection: only ``idx0`` moves, ``Constraints.cpp:34``), consecutive
+    constraints chase each other (``idx1[j] == idx0[j-1]``), and no chain's
+    anchor (its first ``idx1``) is written by any constraint, the constraint
+    set partitions into node-disjoint chains — ropes.  A ``lax.scan`` down
+    the link axis with the carry holding the just-updated chase target then
+    reproduces the reference's sequential projection bit-for-bit per chain,
+    with all chains advancing in parallel (they share no nodes, so any
+    interleaving equals emission order).  Chains are padded to the longest
+    length with ``w = 0`` links (zero delta, scatter-add safe).
+    """
+
+    idx0: jax.Array  # i32[C, L] written node per link, in chain order
+    anchor: jax.Array  # i32[C] chase root (never written)
+    rest: jax.Array  # f32[C, L]
+    w: jax.Array  # f32[C, L] (0 on padding links)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class GroupBatch:
     """Flat ragged-group storage shared by ``ShapeMatchingConstraint`` and
     ``GoalMatchingConstraint`` (``ShapeMatchingConstraint.h:15-60``).
@@ -206,6 +231,25 @@ class Topology:
     # block entries (0,1),(0,2),(0,3),(1,2),(1,3),(2,3) per block; None
     # when the structure doesn't hold.
     tet_block6: jax.Array = None  # f32[6, N//4] or None
+    # Super-body broadphase corner table (collision/broadphase.
+    # _detect_point_tri_super): node ids of every collision super-body's
+    # corner slots — packed bodies (a uniform contiguous-node prefix)
+    # followed by one body per leftover triangle, loose rows padded to the
+    # corner width by repeating corner 0 (duplicates never extend AABBs and
+    # are masked out of the combo space).  None when the super path is off.
+    super_corners: jax.Array = None  # i32[K, W] or None
+    # Static shared-node adjacency for the super path: body ids whose node
+    # sets intersect this row's (excluding itself), -1 padded.  The
+    # reference skips shared-node triangle pairs at sweep time
+    # (Solver.cpp:757-770); here the exclusion is static topology, dropped
+    # at candidate-gather time so mesh-adjacent pairs never reach the
+    # narrow buffer (they would otherwise pin it full — cloth neighbors'
+    # AABBs always overlap).  None when no two bodies share a node.
+    super_adj: jax.Array = None  # i32[K, A] or None
+    # Chain-structured distance constraints (PBD exact sequential
+    # projection); None unless the host detected the chain layout and the
+    # solver is PBD.  See ChainBatch.
+    chains: ChainBatch = None
 
 
 # ---------------------------------------------------------------------------

@@ -52,16 +52,18 @@ def main():
     rows = []
     warmup, ticks = (1, 3) if small else (3, 10)
 
-    # Config 1: rope fleet, PBD (~2k particles, distance + pin): 32-node
-    # pinned ropes (32 links is within the stable Jacobi chain depth at 4
-    # iterations; the reference's sequential w-scaled projection also
-    # diverges on long chains).  Mirrored exactly by scripts/refbench.
-    per = 32
+    # Config 1: rope fleet, PBD (~2k particles, distance + pin): 128-node
+    # pinned ropes.  The chain-scan projection (Topology.chains) reproduces
+    # the reference's sequential in-order update exactly, so long chains
+    # are as stable here as there (round 3's 32-link cap — the Jacobi
+    # form's stability limit, FIDELITY.md #19 — is lifted).  Mirrored
+    # exactly by scripts/refbench.
+    per = 128
     n_rope = 256 if small else 2048
     s = Solver(SolverOptions(solver=SolverName.PBD), enable_collisions=True)
     for r in range(n_rope // per):
-        start = (0.5 * (r % 16), 8.0, 0.7 * (r // 16))
-        end = (start[0] + 3.0, 8.0, start[2])
+        start = (0.5 * (r % 4), 8.0, 0.7 * (r // 4))
+        end = (start[0] + 12.0, 8.0, start[2])
         s.create_rope(start, end, per, w=0.9)
     rows.append(result("rope_pbd", n_rope, time_ticks(s, warmup, ticks), 4))
 

@@ -74,7 +74,7 @@ def main():
         cand_valid = cand_valid & (
             cand != jnp.arange(k, dtype=jnp.int32)[:, None]
         )
-        packed, packed_valid, _ = bp._aabb_prefilter_pack(
+        packed, packed_valid, _, _ = bp._aabb_prefilter_pack(
             cand, cand_valid, lo_b, hi_b, margin, budget.max_narrow_bodies
         )
         narrow_counts = jnp.sum(packed_valid.astype(jnp.int32), axis=-1)

@@ -115,7 +115,7 @@ def main():
     margin = params.collision_threshold_distance / cell
 
     def stage_prefilter(i, acc, cand_b, cand_b_valid):
-        packed_b, packed_valid, _ = _aabb_prefilter_pack(
+        packed_b, packed_valid, _, _ = _aabb_prefilter_pack(
             cand_b, cand_b_valid, lo_b, hi_b, margin, budget.max_narrow_bodies
         )
         return acc + packed_b.sum() + 0 * i

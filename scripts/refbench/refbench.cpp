@@ -115,20 +115,20 @@ static void addTetSoup(Solver& solver, int count) {
 }
 
 static void addRope(Solver& solver, int n) {
-  // Mirrors bench_all config 1: a fleet of pinned 32-node ropes (n total
+  // Mirrors bench_all config 1: a fleet of pinned 128-node ropes (n total
   // particles).  PBD applies position += w * (projected - position)
   // (Constraints.h:127), so w is a blend factor <= 1; the radius stays
   // below half the segment spacing so chain neighbors don't start inside
-  // the node-node response; 32 links is within the stable chain depth for
-  // 4 projection iterations in BOTH engines.
+  // the node-node response.  The rebuild's chain scan reproduces this
+  // sequential projection exactly, so both engines run the same depth.
   const float w = 0.9f;
-  const int per = 32;
+  const int per = 128;
   const int ropes = n / per;
-  const float spacing = 3.0f / float(per - 1);
+  const float spacing = 12.0f / float(per - 1);
   const float radius = std::min(0.25f, 0.4f * spacing);
   for (int r = 0; r < ropes; ++r) {
-    const glm::vec3 start(0.5f * float(r % 16), 8.0f, 0.7f * float(r / 16));
-    const glm::vec3 end = start + glm::vec3(3.0f, 0.0f, 0.0f);
+    const glm::vec3 start(0.5f * float(r % 4), 8.0f, 0.7f * float(r / 4));
+    const glm::vec3 end = start + glm::vec3(12.0f, 0.0f, 0.0f);
     const int base = r * per;
     for (int i = 0; i < per; ++i) {
       float t = float(i) / float(per - 1);
@@ -148,6 +148,113 @@ static void addRope(Solver& solver, int n) {
         solver._constraintId++, solver._nodes[base], w));
   }
   solver._vertices.resize(solver._nodes.size());
+}
+
+static void addMixedCloth(Solver& solver, int nTets) {
+  // Mirrors bench_all config 4c (mixed_cloth_over_soup): the tet soup plus
+  // an unpinned distance-constrained cloth sheet dropped onto it.  Mixed
+  // scenes exercise the reference's single universal triangle sweep
+  // (Solver.cpp:680-875) with no uniform body structure.
+  addTetSoup(solver, nTets);
+  const int sheetN = 48;
+  const int side = static_cast<int>(std::ceil(std::cbrt(double(nTets) * 1.6 * 1.6 * 1.6)));
+  const float lo = -0.4f * float(side), hi = 0.4f * float(side);
+  const uint32_t base = uint32_t(solver._nodes.size());
+  for (int i = 0; i < sheetN; ++i)
+    for (int j = 0; j < sheetN; ++j) {
+      float x = lo + (hi - lo) * float(i) / float(sheetN - 1);
+      float z = lo + (hi - lo) * float(j) / float(sheetN - 1);
+      Node& node = solver._nodes.emplace_back();
+      node.id = base + uint32_t(i * sheetN + j);
+      node.position = glm::vec3(x, 3.2f, z);
+      node.prevPosition = node.position;
+      node.velocity = glm::vec3(0.0f);
+      node.radius = 0.25f;
+      node.invMass = 1.0f;
+    }
+  auto id = [&](int i, int j) { return base + uint32_t(i * sheetN + j); };
+  const float w = 4000.0f;
+  for (int i = 0; i + 1 < sheetN; ++i)
+    for (int j = 0; j < sheetN; ++j)
+      solver._distanceConstraints.push_back(createDistanceConstraint(
+          solver._constraintId++, solver._nodes[id(i, j)],
+          solver._nodes[id(i + 1, j)], w));
+  for (int i = 0; i < sheetN; ++i)
+    for (int j = 0; j + 1 < sheetN; ++j)
+      solver._distanceConstraints.push_back(createDistanceConstraint(
+          solver._constraintId++, solver._nodes[id(i, j)],
+          solver._nodes[id(i, j + 1)], w));
+  for (int i = 0; i + 1 < sheetN; ++i)
+    for (int j = 0; j + 1 < sheetN; ++j)
+      solver._distanceConstraints.push_back(createDistanceConstraint(
+          solver._constraintId++, solver._nodes[id(i, j)],
+          solver._nodes[id(i + 1, j + 1)], w));
+  for (int i = 0; i + 1 < sheetN; ++i)
+    for (int j = 0; j + 1 < sheetN; ++j) {
+      Triangle& t1 = solver._triangles.emplace_back();
+      t1.nodeIds[0] = id(i, j);
+      t1.nodeIds[1] = id(i + 1, j);
+      t1.nodeIds[2] = id(i + 1, j + 1);
+      Triangle& t2 = solver._triangles.emplace_back();
+      t2.nodeIds[0] = id(i, j);
+      t2.nodeIds[1] = id(i + 1, j + 1);
+      t2.nodeIds[2] = id(i, j + 1);
+    }
+  solver._vertices.resize(solver._nodes.size());
+  solver.renderStateDirty = true;
+}
+
+static bool addMeshScene(Solver& solver, const char* path) {
+  // Mirrors bench_all config 3 (tet_cube_drop): a tet mesh dumped by
+  // scripts/dump_mesh.py (same points/tets/surface the TPU bench uses, so
+  // both engines integrate the identical scene).  Format: "nn nt ns",
+  // nn "x y z" lines, nt "a b c d" lines, ns "a b c" lines.
+  FILE* f = std::fopen(path, "r");
+  if (!f) return false;
+  int nn = 0, nt = 0, ns = 0;
+  if (std::fscanf(f, "%d %d %d", &nn, &nt, &ns) != 3) {
+    std::fclose(f);
+    return false;
+  }
+  for (int i = 0; i < nn; ++i) {
+    float x, y, z;
+    if (std::fscanf(f, "%f %f %f", &x, &y, &z) != 3) break;
+    Node& node = solver._nodes.emplace_back();
+    node.id = uint32_t(i);
+    node.position = glm::vec3(x, y, z);
+    node.prevPosition = node.position;
+    node.velocity = glm::vec3(0.0f);
+    node.radius = 0.2f;
+    node.invMass = 1.0f;
+  }
+  const float w = 1000.0f;
+  for (int i = 0; i < nt; ++i) {
+    int a, b, c, d;
+    if (std::fscanf(f, "%d %d %d %d", &a, &b, &c, &d) != 4) break;
+    Tetrahedron& tet = solver._tets.emplace_back();
+    tet.nodeIds[0] = uint32_t(a);
+    tet.nodeIds[1] = uint32_t(b);
+    tet.nodeIds[2] = uint32_t(c);
+    tet.nodeIds[3] = uint32_t(d);
+    solver._tetConstraints.push_back(createTetrahedralConstraint(
+        solver._constraintId++, w, solver._nodes[a], solver._nodes[b],
+        solver._nodes[c], solver._nodes[d], 0.8f, 1.0f));
+    solver._volumeConstraints.push_back(createVolumeConstraint(
+        solver._constraintId++, w, solver._nodes[a], solver._nodes[b],
+        solver._nodes[c], solver._nodes[d], 1.0f, 1.0f));
+  }
+  for (int i = 0; i < ns; ++i) {
+    int a, b, c;
+    if (std::fscanf(f, "%d %d %d", &a, &b, &c) != 3) break;
+    Triangle& tri = solver._triangles.emplace_back();
+    tri.nodeIds[0] = uint32_t(a);
+    tri.nodeIds[1] = uint32_t(b);
+    tri.nodeIds[2] = uint32_t(c);
+  }
+  std::fclose(f);
+  solver._vertices.resize(solver._nodes.size());
+  solver.renderStateDirty = true;
+  return true;
 }
 
 int main(int argc, char** argv) {
@@ -200,6 +307,16 @@ int main(int argc, char** argv) {
     }
     solver._vertices.resize(solver._nodes.size());
     particles = n;
+  } else if (scene == "mixed") {
+    addMixedCloth(solver, n > 0 ? n : 12500);
+    particles = int(solver._nodes.size());
+  } else if (scene == "mesh") {
+    const char* path = std::getenv("PIES_MESH");
+    if (!addMeshScene(solver, path ? path : "tet_cube_mesh.txt")) {
+      std::fprintf(stderr, "mesh scene: cannot read mesh file\n");
+      return 1;
+    }
+    particles = int(solver._nodes.size());
   } else {
     std::fprintf(stderr, "unknown scene %s\n", scene.c_str());
     return 1;

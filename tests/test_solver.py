@@ -30,18 +30,29 @@ class TestRope:
         s.create_rope((0, 12.0, 0), (10, 12.0, 0), 32, w=1.0 if solver_name == SolverName.PBD else 5000.0)
         return s
 
-    def test_pbd_rope_hangs(self):
+    def test_pbd_rope_swings_inextensibly(self):
+        # Under the reference's EXACT sequential asymmetric projection
+        # (Constraints.cpp:29-36 applied in order at Solver.cpp:65-67,
+        # reproduced by the chain scan — TestChainScan), a pinned horizontal
+        # rope is follow-the-leader: inextensible, but it does NOT pendulum
+        # down — the one-sided projection doesn't conserve momentum, so the
+        # chain crumples toward the pin (sequential f64 oracle after 150
+        # ticks: free end (-1.32, 11.29, 0)).  The old "sags below y=7"
+        # expectation was an artifact of the divergent count-averaged Jacobi
+        # form, which sagged by STRETCHING.
         s = self._solver(SolverName.PBD)
         settle(s, 150)
         p = s.get_vertices()["position"]
         assert not s.sim_failed
-        # Pinned at start, free end sags below the pin.
+        # Pin holds.
         np.testing.assert_allclose(p[0], [0, 12.0, 0], atol=1e-3)
-        assert p[-1, 1] < 7.0
-        # Segment lengths stay near rest (PBD satisfies constraints directly).
+        # Dynamics are live: the free end traveled far from (10, 12, 0).
+        assert np.linalg.norm(p[-1] - np.array([10.0, 12.0, 0.0])) > 5.0
+        # Inextensible — every segment within 5% of rest (the sequential
+        # projection's strong guarantee; Jacobi needed 60% slack here).
         seg = np.linalg.norm(np.diff(p, axis=0), axis=1)
         rest = 10.0 / 31
-        assert np.all(seg < rest * 1.6)
+        assert np.all(seg < rest * 1.05)
 
     def test_pd_rope_hangs(self):
         s = self._solver(SolverName.PD)
@@ -414,6 +425,31 @@ class TestCGConvergenceBound:
         d = np.abs(run(0.0) - run(1e-6)).max()
         assert d < 5e-4
 
+    def test_cg_rtol_early_exit_matches_fixed_contact_heavy(self):
+        # Same equivalence on a CONTACT-HEAVY settling soup — the warm
+        # start is worst mid-collapse, when stiff (1e5) contact rows enter
+        # and leave the system every substep, so this is where the masked
+        # early exit could plausibly diverge (the contact-free variant
+        # above can't see that regime).
+        def run(rtol):
+            s = Solver(
+                SolverOptions(solver=SolverName.PD),
+                enable_collisions=True,
+                contact_coupling="recentered",
+                cg_iterations=32,
+                cg_rtol=rtol,
+            )
+            s.create_tet_soup(
+                24, 1.6, 0.8, w=2000.0, height=0.5, jitter=0.05
+            )
+            for _ in range(40):
+                s.tick()
+            assert not s.sim_failed
+            return s.get_vertices()["position"][: s._builder.num_nodes]
+
+        d = np.abs(run(0.0) - run(1e-6)).max()
+        assert d < 5e-4
+
     def test_tet_block_cholesky_matches_numpy(self):
         # assembly.tet_block_factor/apply must equal a per-block dense solve.
         from pies_tpu.solver import assembly
@@ -507,3 +543,210 @@ class TestTetColumnFastPath:
         # Both must have settled into contact (not free fall): some node at
         # the floor.
         assert fast[:, 1].min() < 0.5
+
+
+class TestChainScan:
+    """EXACT sequential PBD distance projection for chain scenes
+    (StepConfig.distance_chain + topology.ChainBatch): a lax.scan down the
+    link axis reproduces the reference's in-emission-order projection
+    (Constraints.h:121-129 applied at Solver.cpp:65-67) — tension traverses
+    a whole rope per iteration, where the batched Jacobi form diverges
+    beyond ~32 links at 4 iterations (FIDELITY.md #19)."""
+
+    def _rope(self, n, w=1.0):
+        opts = SolverOptions(solver=SolverName.PBD)
+        s = Solver(opts, enable_collisions=False)
+        s.create_rope((0, 12.0, 0), (10, 12.0, 0), n, w=w)
+        s._prepare()
+        return s
+
+    def test_chain_layout_detected(self):
+        s = self._rope(128)
+        assert s._config.distance_chain
+        assert s._topology.chains is not None
+        assert not s._config.distance_colors
+
+    def test_128_link_rope_matches_sequential_oracle(self):
+        # The scale where batched Jacobi diverges; the chain scan must track
+        # a sequential NumPy transcription of the reference PBD tick
+        # (Solver.cpp:47-158, collisions off) through the swing.
+        N = 128
+        s = self._rope(N)
+        opts = s._options
+
+        pos = np.asarray(s._state.positions[:N], np.float64)
+        vel = np.zeros_like(pos)
+        dist_idx = np.stack([np.arange(1, N), np.arange(0, N - 1)], axis=-1)
+        rest = np.linalg.norm(
+            pos[dist_idx[:, 1]] - pos[dist_idx[:, 0]], axis=-1
+        )
+        p_idx = np.asarray(s._topology.position.idx)
+        p_tgt = np.asarray(s._topology.position.target)
+        p_w = np.asarray(s._topology.position.w)
+        radius = np.asarray(s._state.radius[:N], np.float64)
+        dt = opts.fixed_timestep_size
+
+        ticks = 150
+        for _ in range(ticks):
+            prev = pos.copy()
+            pos = pos + vel * dt
+            pos[:, 1] -= opts.gravity * dt * dt
+            for _ in range(opts.iterations):
+                for j in range(p_idx.shape[0]):
+                    pos[p_idx[j]] += p_w[j] * (p_tgt[j] - pos[p_idx[j]])
+                for j in range(dist_idx.shape[0]):
+                    a, b = dist_idx[j]
+                    diff = pos[b] - pos[a]
+                    d = np.linalg.norm(diff)
+                    dirv = diff / d if d > 1e-5 else np.array([1.0, 0, 0])
+                    pos[a] += -(rest[j] - d) * dirv
+                lift = opts.floor_height + radius - pos[:, 1]
+                pos[:, 1] += np.maximum(lift, 0.0)
+            vel = (1.0 - opts.damping) * (pos - prev) / dt
+            on_floor = pos[:, 1] - radius <= opts.floor_height
+            sp = np.sqrt(vel[:, 0] ** 2 + vel[:, 2] ** 2)
+            scale = np.where(
+                on_floor & (sp < 5.0), 0.0,
+                np.where(on_floor, 1.0 - opts.friction, 1.0),
+            )
+            vel[:, 0] *= scale
+            vel[:, 2] *= scale
+
+        settle(s, ticks)
+        assert not s.sim_failed
+        got = np.asarray(s.get_vertices()["position"][:N], np.float64)
+        rel = np.abs(got - pos).max() / max(1.0, np.abs(pos).max())
+        assert rel < 5e-2, f"chain scan diverged from sequential oracle ({rel:.2e})"
+        # Tension reached the whole rope: segments stay near rest length.
+        seg = np.linalg.norm(np.diff(got, axis=0), axis=1)
+        assert float(seg.max()) < (10.0 / (N - 1)) * 1.05
+
+    def test_parallel_chains(self):
+        # Several ropes = several node-disjoint chains advancing in one scan.
+        opts = SolverOptions(solver=SolverName.PBD)
+        s = Solver(opts, enable_collisions=False)
+        for r in range(4):
+            s.create_rope((0, 12.0, 1.5 * r), (8, 12.0, 1.5 * r), 64, w=1.0)
+        s._prepare()
+        assert s._config.distance_chain
+        assert s._topology.chains.idx0.shape[0] == 4
+        settle(s, 100)
+        assert not s.sim_failed
+        p = s.get_vertices()["position"]
+        for r in range(4):
+            seg = p[r * 64: (r + 1) * 64]
+            np.testing.assert_allclose(seg[0], [0, 12.0, 1.5 * r], atol=1e-3)
+            assert np.isfinite(seg).all()
+
+
+class TestColoredGS:
+    """Colored Gauss-Seidel PBD distance projection
+    (StepConfig.distance_colors): when constraints don't form chase chains
+    (shared nodes / branching), a build-time greedy coloring groups
+    conflict-free constraints; classes project sequentially with the
+    reference's exact per-constraint update — within a class no node
+    repeats, so class order restores sequential tension propagation."""
+
+    def _net(self, n=8):
+        # A PBD net (grid of distance constraints) — branching topology, no
+        # chains.
+        opts = SolverOptions(solver=SolverName.PBD)
+        s = Solver(opts, enable_collisions=False)
+        sx = np.linspace(0.0, 4.0, n, dtype=np.float32)
+        gx, gz = np.meshgrid(sx, sx, indexing="ij")
+        pts = np.stack([gx, np.full_like(gx, 8.0), gz], -1).reshape(-1, 3)
+        ids = s._builder._emit_nodes(pts, inv_mass=1.0, radius=0.1)
+        g = ids.reshape(n, n)
+        pairs = np.concatenate([
+            np.stack([g[:-1, :].ravel(), g[1:, :].ravel()], 1),
+            np.stack([g[:, :-1].ravel(), g[:, 1:].ravel()], 1),
+        ])
+        s._builder._emit_distance(pairs, 0.9)
+        # Pin one corner.
+        s._builder.pos_idx.append(ids[:1])
+        s._builder.pos_w.append(np.full(1, 1.0, np.float32))
+        s._dirty = True
+        s._prepare()
+        return s
+
+    def test_coloring_detected(self):
+        s = self._net()
+        assert not s._config.distance_chain
+        assert len(s._config.distance_colors) > 1
+        # Classes partition the batch: cumulative ends reach the live count.
+        d = s._topology.distance
+        ends = s._config.distance_colors
+        assert ends[-1] == int(np.asarray(d.w > 0).sum())
+
+    def test_classes_are_conflict_free(self):
+        s = self._net()
+        idx = np.asarray(s._topology.distance.idx)
+        ends = s._config.distance_colors
+        s0 = 0
+        for e in ends:
+            cls = idx[s0:e]
+            nodes = cls.reshape(-1)
+            assert np.unique(nodes).size == nodes.size, "conflict in class"
+            s0 = e
+
+    def test_matches_class_sequential_oracle(self):
+        # The jitted iteration must equal a NumPy oracle applying the same
+        # color classes in the same order (within a class batch ==
+        # sequential: no node repeats).
+        s = self._net()
+        opts = s._options
+        d = s._topology.distance
+        idx = np.asarray(d.idx)
+        rest = np.asarray(d.rest, np.float64)
+        w = np.asarray(d.w, np.float64)
+        ends = s._config.distance_colors
+        n_live = int((w > 0).sum())
+        p_idx = np.asarray(s._topology.position.idx)
+        p_tgt = np.asarray(s._topology.position.target, np.float64)
+        p_w = np.asarray(s._topology.position.w, np.float64)
+        nn = s._builder.num_nodes
+        pos = np.asarray(s._state.positions[:nn], np.float64)
+        vel = np.zeros_like(pos)
+        radius = np.asarray(s._state.radius[:nn], np.float64)
+        dt = opts.fixed_timestep_size
+
+        ticks = 100
+        for _ in range(ticks):
+            prev = pos.copy()
+            pos = pos + vel * dt
+            pos[:, 1] -= opts.gravity * dt * dt
+            for _ in range(opts.iterations):
+                for j in range(p_idx.shape[0]):
+                    pos[p_idx[j]] += p_w[j] * (p_tgt[j] - pos[p_idx[j]])
+                s0 = 0
+                for e in ends:
+                    a = idx[s0:e, 0]
+                    b = idx[s0:e, 1]
+                    diff = pos[b] - pos[a]
+                    dist = np.linalg.norm(diff, axis=-1)
+                    safe = dist > 1e-5
+                    dirv = np.where(
+                        safe[:, None],
+                        diff / np.maximum(dist, 1e-20)[:, None],
+                        np.array([1.0, 0.0, 0.0]),
+                    )
+                    disp = rest[s0:e] - dist
+                    pos[a] += w[s0:e, None] * (-disp[:, None] * dirv)
+                    s0 = e
+                lift = opts.floor_height + radius - pos[:, 1]
+                pos[:, 1] += np.maximum(lift, 0.0)
+            vel = (1.0 - opts.damping) * (pos - prev) / dt
+            on_floor = pos[:, 1] - radius <= opts.floor_height
+            sp = np.sqrt(vel[:, 0] ** 2 + vel[:, 2] ** 2)
+            scale = np.where(
+                on_floor & (sp < 5.0), 0.0,
+                np.where(on_floor, 1.0 - opts.friction, 1.0),
+            )
+            vel[:, 0] *= scale
+            vel[:, 2] *= scale
+
+        settle(s, ticks)
+        assert not s.sim_failed
+        got = np.asarray(s.get_vertices()["position"][:nn], np.float64)
+        rel = np.abs(got - pos).max() / max(1.0, np.abs(pos).max())
+        assert rel < 5e-2, f"colored GS diverged from class oracle ({rel:.2e})"

@@ -186,3 +186,40 @@ class TestMeshQuality:
         # Every tet keeps >= ~30% of its lattice volume (full-revert
         # fallback restores 100%, so the bound is one-sided).
         assert np.all(vol1 >= 0.299 * vol0), float((vol1 / vol0).min())
+
+
+class TestTargetTets:
+    """Element-budget control (tetrahedralize(target_tets=...)): the analog
+    of tetgen's max-volume switch the reference sizes imports with
+    (PrimitiveUtilities.cpp:212-241)."""
+
+    def test_enclosed_volume_cube(self):
+        # Unit-ish cube: analytic volume 8.
+        v = np.array(
+            [[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0],
+             [0, 0, 2], [2, 0, 2], [2, 2, 2], [0, 2, 2]], np.float32
+        )
+        f = np.array(
+            [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5],
+             [0, 5, 4], [1, 2, 6], [1, 6, 5], [2, 3, 7], [2, 7, 6],
+             [3, 0, 4], [3, 4, 7]], np.int32,
+        )
+        assert abs(tetmesh.enclosed_volume(v, f) - 8.0) < 1e-5
+
+    def test_budget_tracks_target(self):
+        v, f = icosphere(1.0)
+        for target in (300, 1500, 6000):
+            _, tets, _ = tetmesh.tetrahedralize(v, f, target_tets=target)
+            # Lattice stuffing can't hit the budget exactly (boundary cells
+            # straddle the surface); 2x either way is the loose contract.
+            assert target / 2 <= tets.shape[0] <= target * 2, (
+                target, tets.shape[0],
+            )
+
+    def test_budget_monotone(self):
+        v, f = icosphere(1.0)
+        counts = [
+            tetmesh.tetrahedralize(v, f, target_tets=t)[1].shape[0]
+            for t in (300, 1500, 6000)
+        ]
+        assert counts[0] < counts[1] < counts[2]
