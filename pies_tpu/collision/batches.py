@@ -431,6 +431,24 @@ def stabilize_edge_edge(
     """One Jacobi pass of edge-edge stabilization
     (``CollisionConstraint.cpp:316-400``): direct push-out applied to
     position *and* prevPosition, count-averaged like the point-tri pass."""
+    acc = stabilize_edge_edge_acc(
+        positions, inv_mass, edge_idx, edge_mask, thickness, reference_quirks
+    )
+    delta = acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
+    return positions + delta, prev_positions + delta
+
+
+def stabilize_edge_edge_acc(
+    positions: jax.Array,
+    inv_mass: jax.Array,
+    edge_idx: jax.Array,
+    edge_mask: jax.Array,
+    thickness: jax.Array,
+    reference_quirks: bool,
+) -> jax.Array:
+    """The edge-edge stabilization pass's raw ``[N, 4]`` accumulator (xyz
+    delta sums + contact counts) before count-averaging — halo-reduced
+    across slabs by the domain-decomposed solver (parallel/domain.py)."""
     cols = gather_cols(positions, edge_idx)
     active, disp, wa, wb, wc, wd = _edge_edge_closest_disp(
         cols, inv_mass[edge_idx], thickness, reference_quirks
@@ -452,11 +470,9 @@ def stabilize_edge_edge(
         ],
         axis=-1,
     )  # [4E, 4] — one fused scatter (xyz + count), 2-D throughout
-    acc = jnp.zeros(
+    return jnp.zeros(
         (positions.shape[0], 4), positions.dtype
     ).at[edge_idx.T.reshape(-1)].add(upd)
-    delta = acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
-    return positions + delta, prev_positions + delta
 
 
 def stabilize_point_tri(

@@ -97,6 +97,7 @@ class DomainStatic:
     inv_mass_view: jax.Array  # f32[D, V]
     mass_view: jax.Array  # f32[D, V]
     node_mask_view: jax.Array  # f32[D, V]
+    radius_view: jax.Array  # f32[D, V] (node-node collision radii)
     # Owner-only mass embedded in the view (halo slots zero): the M/h² terms
     # of the operator and RHS count each node exactly once — on its owner.
     mass_own_view: jax.Array  # f32[D, V]
@@ -534,6 +535,7 @@ def partition_domain(
         inv_mass_view=window(im_n),
         mass_view=window(m_n, pad_value=1.0),
         node_mask_view=window(mask_n),
+        radius_view=window(node_attr(np.asarray(state.radius, _F32), 0.0)),
         mass_own_view=window(mass_own) * _own_window_mask(meta),
         stiffness_diag_own=stiff_own,
         topo=topo_local,
@@ -686,6 +688,7 @@ def _domain_substep(
     # exactly one slab.  Contact indices are view-local — their force /
     # operator / stabilization scatters ride the existing halo reduce.
     coll_overflow = jnp.asarray(False)
+    prev_view = None
     if config.enable_collisions and topo.triangles.shape[0] > 0:
         from ..collision.broadphase import detect_point_tri_collisions
 
@@ -701,31 +704,93 @@ def _domain_substep(
         )
         colls = replace(colls, pt_idx=pt_idx, pt_mask=pt_mask)
 
+    # Edge-edge contacts (StepConfig.enable_edge_collisions): the query of a
+    # pair is its lower-id triangle, and localization preserves id order, so
+    # the owned-triangle emit mask yields each pair on exactly one slab.
+    # Gating matches solver/step.py's default_detect_collisions: edge and
+    # node-node run on their own flags, independent of enable_collisions.
+    if config.enable_edge_collisions and topo.triangles.shape[0] > 0:
+        from ..collision.broadphase import detect_edge_edge_collisions
+
+        if prev_view is None:
+            prev_view = _halo_refresh(prev_own, meta)
+        edge_idx, edge_mask, e_over = detect_edge_edge_collisions(
+            x_view,
+            prev_view,
+            topo.triangles,
+            topo.tri_mask,
+            params,
+            config,
+            emit_mask=dstatic_l.tri_emit_mask,
+        )
+        colls = replace(colls, edge_idx=edge_idx, edge_mask=edge_mask)
+        coll_overflow = coll_overflow | e_over
+
+    # Node-node PD contacts (StepConfig.enable_node_collisions) over the
+    # view grid; pair (i < j) emits from node i, restricted to owned nodes.
+    if config.enable_node_collisions:
+        from types import SimpleNamespace
+
+        from ..collision.broadphase import detect_node_node_pairs
+
+        own_emit = (
+            jnp.zeros((meta.view,), x_own.dtype)
+            .at[b : b + l]
+            .set(1.0)
+            * dstatic_l.node_mask_view
+        )
+        shim = SimpleNamespace(
+            node_mask=dstatic_l.node_mask_view, radius=dstatic_l.radius_view
+        )
+        nn_idx, nn_mask = detect_node_node_pairs(
+            shim, x_view, params, config, emit_mask=own_emit
+        )
+        colls = replace(colls, nn_idx=nn_idx, nn_mask=nn_mask)
+
     mass_h2_view = dstatic_l.mass_own_view / h2
     msn_h2_own = x_own * (mass_own / h2)[:, None]
 
+    # Contact diagonals over the view (floor entries are owner-local; pt /
+    # edge / node-node entries may land on halo slots and are returned to
+    # their owner by ONE halo reduce below).  static_diag_view is the dense
+    # diagonal the operator applies per CG matvec; diag_own is the complete
+    # assembled Jacobi-preconditioner diagonal (mirrors solver/pd.py).
     static_diag_view = W_STATIC * floor_count * floor_active
-    pt_diag_view = None
-    if colls.pt_idx.shape[0]:
-        pt_diag_view = assembly.point_tri_collision_diag(
+    if colls.nn_idx.shape[0]:
+        static_diag_view = static_diag_view + assembly.node_node_diag(
             colls, meta.view, x_own.dtype
         )
+    pt_diag_view = None
+    if colls.pt_idx.shape[0] or colls.edge_idx.shape[0]:
+        pt_diag_view = jnp.zeros((meta.view,), x_own.dtype)
+        if colls.pt_idx.shape[0]:
+            pt_diag_view = pt_diag_view + assembly.point_tri_collision_diag(
+                colls, meta.view, x_own.dtype
+            )
+        if colls.edge_idx.shape[0]:
+            pt_diag_view = pt_diag_view + assembly.edge_collision_diag(
+                colls, meta.view, x_own.dtype
+            )
         if config.contact_coupling in ("diagonal", "recentered"):
             static_diag_view = static_diag_view + pt_diag_view
+    contact_diag_view = static_diag_view
+    if pt_diag_view is not None and config.contact_coupling == "full":
+        contact_diag_view = contact_diag_view + pt_diag_view
     diag_own = (
         mass_own / h2
         + dstatic_l.stiffness_diag_own
-        + static_diag_view[b : b + l]
+        + contact_diag_view[b : b + l]
     )
-    if colls.pt_idx.shape[0]:
-        if config.contact_coupling in ("diagonal", "recentered"):
-            # static_diag_view already carries this slab's pt diagonal; the
-            # preconditioner additionally needs neighbor slabs' contributions
-            # to my owned nodes.
-            halo_part = pt_diag_view.at[b : b + l].set(0.0)
-            diag_own = diag_own + _halo_reduce(halo_part, meta)
-        else:
-            diag_own = diag_own + _halo_reduce(pt_diag_view, meta)
+    if (
+        colls.pt_idx.shape[0]
+        or colls.nn_idx.shape[0]
+        or colls.edge_idx.shape[0]
+    ):
+        # Neighbor slabs' contributions to my owned nodes arrive scattered
+        # on their halo slots; floor terms are owner-local (zero there).
+        diag_own = diag_own + _halo_reduce(
+            contact_diag_view.at[b : b + l].set(0.0), meta
+        )
 
     def matvec(v_own):
         v_view = _halo_refresh(v_own, meta)
@@ -753,6 +818,7 @@ def _domain_substep(
             params.floor_height,
             config.rotation_iterations,
             config.reference_quirks,
+            radius=dstatic_l.radius_view,
             pt_full=(config.contact_coupling == "full"),
         )
         # RHS: M sn/h² on owned slots + constraint AᵀB p over the view.
@@ -794,7 +860,10 @@ def _domain_substep(
     # floor snap on owned slots — the same per-iteration order as the
     # single-device tick (solver/pd.py).
     if config.collision_stabilization_iterations > 0:
-        from ..collision.batches import stabilize_point_tri_acc
+        from ..collision.batches import (
+            stabilize_edge_edge_acc,
+            stabilize_point_tri_acc,
+        )
 
         def stabilize(_, carry):
             x_own, prev_own = carry
@@ -806,6 +875,20 @@ def _domain_substep(
                     colls.pt_idx,
                     colls.pt_mask,
                     params.collision_thickness,
+                )
+                acc_own = _halo_reduce(acc, meta)
+                delta = acc_own[:, :3] / jnp.maximum(acc_own[:, 3], 1.0)[:, None]
+                x_own = x_own + delta
+                prev_own = prev_own + delta
+            if config.enable_edge_collisions and colls.edge_idx.shape[0]:
+                xv = _halo_refresh(x_own, meta)
+                acc = stabilize_edge_edge_acc(
+                    xv,
+                    dstatic_l.inv_mass_view,
+                    colls.edge_idx,
+                    colls.edge_mask,
+                    params.collision_thickness,
+                    config.reference_quirks,
                 )
                 acc_own = _halo_reduce(acc, meta)
                 delta = acc_own[:, :3] / jnp.maximum(acc_own[:, 3], 1.0)[:, None]
@@ -830,10 +913,23 @@ def _domain_substep(
         + h * forces_own * im_own[:, None]
     ) * mask_own
 
-    # Point-triangle friction + restitution (Solver.cpp:431-471): the
-    # count-averaged impulse accumulator halo-reduces across slabs, exactly
-    # like stabilization.  Velocities of halo nodes come from one refresh
-    # (pre-friction values, matching the single-device Jacobi pass).
+    # Node-node friction (Solver.cpp:398-428), then point-triangle friction
+    # + restitution (Solver.cpp:431-471): each count-averaged impulse
+    # accumulator halo-reduces across slabs, exactly like stabilization.
+    # Velocities of halo nodes come from one refresh per pass (pre-pass
+    # values, matching the single-device Jacobi application order in
+    # solver/pd.py's contact_passes).
+    if colls.nn_idx.shape[0]:
+        from ..solver.pd import node_node_friction_acc
+
+        xv = _halo_refresh(x_own, meta)
+        vv = _halo_refresh(vel, meta)
+        acc = node_node_friction_acc(
+            xv, vv, dstatic_l.inv_mass_view, dstatic_l.radius_view,
+            colls.nn_idx, colls.nn_mask, params,
+        )
+        acc_own = _halo_reduce(acc, meta)
+        vel = vel + acc_own[:, :3] / jnp.maximum(acc_own[:, 3], 1.0)[:, None]
     if colls.pt_idx.shape[0]:
         from ..solver.pd import point_tri_friction_acc
 

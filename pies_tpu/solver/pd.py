@@ -419,7 +419,25 @@ def _node_node_friction(
     colls: CollisionSet,
     params: PhysicsParams,
 ) -> jax.Array:
-    """Node-node friction pass (``Solver.cpp:398-428``), Jacobi-accumulated.
+    acc = node_node_friction_acc(
+        x, vel, inv_mass, radius, colls.nn_idx, colls.nn_mask, params
+    )
+    return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
+
+
+def node_node_friction_acc(
+    x: jax.Array,
+    vel: jax.Array,
+    inv_mass: jax.Array,
+    radius: jax.Array,
+    nn_idx: jax.Array,
+    nn_mask: jax.Array,
+    params: PhysicsParams,
+) -> jax.Array:
+    """Node-node friction pass (``Solver.cpp:398-428``), Jacobi-accumulated;
+    returns the raw ``[N, 4]`` accumulator (xyz impulse sums + contact
+    counts) before count-averaging — halo-reduced across slabs by the
+    domain-decomposed solver (parallel/domain.py).
 
     Touching pairs (center distance ≤ radius sum) damp their relative
     tangential velocity by ``friction``.  The reference's static branch sets
@@ -428,12 +446,12 @@ def _node_node_friction(
     relative velocity — dead by default (``staticFrictionThreshold = 0``);
     reproduced literally.
     """
-    idx = colls.nn_idx
+    idx = nn_idx
     pa, pb = x[idx[:, 0]], x[idx[:, 1]]
     diff = pb - pa
     dist = jnp.linalg.norm(diff, axis=-1)
     r = radius[idx[:, 0]] + radius[idx[:, 1]]
-    touching = (dist <= r) & (colls.nn_mask > 0)
+    touching = (dist <= r) & (nn_mask > 0)
     n = diff / jnp.maximum(dist, 1e-20)[:, None]
 
     va, vb = vel[idx[:, 0]], vel[idx[:, 1]]
@@ -461,10 +479,9 @@ def _node_node_friction(
         ],
         axis=-1,
     )
-    acc = jnp.zeros((vel.shape[0], 4), vel.dtype).at[
+    return jnp.zeros((vel.shape[0], 4), vel.dtype).at[
         idx.T.reshape(-1)
     ].add(upd)
-    return vel + acc[:, :3] / jnp.maximum(acc[:, 3], 1.0)[:, None]
 
 
 def _point_tri_friction(

@@ -123,6 +123,8 @@ class TestDomainDecomposition:
         enable_collisions=False,
         collision_margin=0.0,
         require_contacts=False,
+        options=None,
+        **solver_kwargs,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
         from pies_tpu import Solver
@@ -132,9 +134,11 @@ class TestDomainDecomposition:
             partition_domain,
         )
 
+        opts = options or SolverOptions(solver=SolverName.PD)
         s = Solver(
-            SolverOptions(solver=SolverName.PD),
+            opts,
             enable_collisions=enable_collisions,
+            **solver_kwargs,
         )
         build(s)
         s._prepare()
@@ -176,8 +180,9 @@ class TestDomainDecomposition:
         # difference (~1e-7/tick) amplifies chaotically through the stiff
         # contact dynamics, so the trajectory bound is necessarily looser.
         s2 = Solver(
-            SolverOptions(solver=SolverName.PD),
+            opts,
             enable_collisions=enable_collisions,
+            **solver_kwargs,
         )
         build(s2)
         s2._prepare()
@@ -253,6 +258,82 @@ class TestDomainDecomposition:
             enable_collisions=True,
             collision_margin=1.3,
             require_contacts=True,
+        )
+
+    def test_domain_edge_edge_collisions(self):
+        # Crossing wireframe strips with the contact pair straddling the
+        # slab boundary: the domain edge-edge sweep (owned lower-id query
+        # emission, halo-reduced diag/force/stabilization) must track the
+        # single-device tick.  Two strip pairs spread along x so each slab
+        # owns one, plus the boundary-straddling middle pair.
+        def build(s):
+            b = s._builder
+            for x0 in (0.0, 3.0, 6.0):
+                b._emit_nodes(
+                    np.array(
+                        [[x0 - 1, 1, 0], [x0 + 1, 1, 0], [x0, 2.5, 0]],
+                        np.float32,
+                    ),
+                    inv_mass=1.0, radius=0.1,
+                )
+                b._emit_nodes(
+                    np.array(
+                        [[x0, 1.02, -1], [x0, 1.02, 1], [x0, 2.5, 0.8]],
+                        np.float32,
+                    ),
+                    inv_mass=1.0, radius=0.1,
+                )
+            tris = np.arange(18, dtype=np.int32).reshape(6, 3)
+            for t in tris:
+                b.triangles.append(t[None, :])
+            s._dirty = True
+
+        self._compare(
+            build,
+            n_slabs=2,
+            ticks=10,
+            atol=1e-3,
+            enable_collisions=False,
+            collision_margin=2.5,
+            options=SolverOptions(solver=SolverName.PD, gravity=0.0),
+            enable_edge_collisions=True,
+            reference_quirks=False,
+        )
+
+    def test_domain_node_node_collisions(self):
+        # A line of overlapping PD spheres spanning both slabs: pair
+        # (i < j) emits from its owned lower node, diag/force/friction
+        # accumulators halo-reduce — trajectory must match single-device.
+        from pies_tpu.options import CollisionBudget
+
+        def build(s):
+            xs = np.arange(64, dtype=np.float32) * 0.5
+            pts = np.stack(
+                [xs, np.full(64, 5.0, np.float32), np.zeros(64, np.float32)],
+                axis=1,
+            )
+            s._builder._emit_nodes(pts, inv_mass=1.0, radius=0.3)
+            s._dirty = True
+
+        self._compare(
+            build,
+            n_slabs=2,
+            ticks=15,
+            atol=1e-3,
+            enable_collisions=False,
+            collision_margin=4.0,
+            options=SolverOptions(
+                solver=SolverName.PD, gravity=0.0, iterations=8,
+                collision_stabilization_iterations=0,
+            ),
+            enable_node_collisions=True,
+            cg_iterations=32,
+            cg_rtol=0.0,
+            # The line scene has ~274 grid-sharing pairs; the default
+            # 256-pair budget makes the SINGLE device drop 18 of them
+            # (graceful degradation) while the two per-slab buffers keep
+            # all — parity needs both sides unclipped.
+            budget=CollisionBudget(max_node_node_contacts=512),
         )
 
     def test_halo_too_small_raises(self):
