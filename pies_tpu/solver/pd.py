@@ -248,7 +248,12 @@ def pd_substep(
                 return x_new, local.quats, jnp.asarray(0.0, x.dtype), \
                     local.static, force
 
-            if _UNROLL:
+            if _UNROLL or config.iterations <= 8:
+                # The direct path only exists on small prefactorized scenes
+                # (inv_dense, N <= 1024) where per-trip loop overhead
+                # (~25-50 us) is a measurable slice of the tick; a static
+                # unroll of the (static, small) iteration count removes it
+                # and lets XLA fuse across iterations.
                 c = carry + (jnp.zeros_like(carry[0]),)
                 for _i in range(config.iterations):
                     c = iteration(_i, c)

@@ -50,7 +50,11 @@ def main():
     from pies_tpu.parallel import ensemble
 
     rows = []
-    warmup, ticks = (1, 3) if small else (3, 10)
+    # 40 batched ticks per timed dispatch: the remote-TPU tunnel costs
+    # ~20-30 ms per dispatch (PLAN.md *Measurement protocol*), which at 10
+    # ticks still poisoned small-scene rows by 2-3 ms/tick.  The metric is
+    # the sim's steady-state steps/sec, so amortize the constant.
+    warmup, ticks = (1, 3) if small else (3, 40)
 
     # Config 1: rope fleet, PBD (~2k particles, distance + pin): 128-node
     # pinned ropes.  The chain-scan projection (Topology.chains) reproduces
