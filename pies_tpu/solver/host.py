@@ -277,6 +277,11 @@ class Solver:
         # largest cost in the tick trace).
         contact_coupling: str = "recentered",
         budget: CollisionBudget | None = None,
+        # Field overrides applied ON TOP of the scene-derived auto budget
+        # (_auto_budget).  Unlike passing an explicit ``budget``, this keeps
+        # the auto-sized per-cell/per-tri caps (an explicit budget leaves
+        # them at defaults, silently dropping candidates in dense scenes).
+        budget_overrides: dict | None = None,
         node_capacity: int | None = None,
         # Scenes up to this many (padded) triangles use the exact all-pairs
         # broadphase instead of the grid (StepConfig.allpairs_broadphase_max);
@@ -287,8 +292,12 @@ class Solver:
         # inverse preconditioner (Topology.ata_dense/inv_dense): tiny ticks
         # are bound by per-op/while-trip overhead, and the [N, N] matmul
         # form converges CG in 1-3 trips (the reference's LLT structure,
-        # Solver.cpp:212-215).  0 disables.
-        dense_operator_max: int = 1024,
+        # Solver.cpp:212-215).  0 disables.  2048 covers the canonical
+        # imported-mesh scene (1,331 nodes -> cap 1336): measured 60.7 ->
+        # 5.85 ms/tick on the real chip (the generic path is pure per-op
+        # overhead at this size); the one-time host-side f64 inversion at
+        # 2048 is a few seconds, the [2048, 2048] matmul per CG trip ~80 us.
+        dense_operator_max: int = 2048,
     ):
         self._options = options or SolverOptions()
         self._builder = SceneBuilder(seed=seed)
@@ -308,6 +317,7 @@ class Solver:
         self._contact_coupling = contact_coupling
         self._broadphase_cell = 1.0
         self._budget = budget
+        self._budget_overrides = budget_overrides
         self._node_capacity = node_capacity
         self._dense_operator_max = dense_operator_max
 
@@ -606,6 +616,8 @@ class Solver:
             )
 
         budget = self._budget or self._auto_budget(positions, tris, bodies)
+        if self._budget is None and self._budget_overrides:
+            budget = dataclasses.replace(budget, **self._budget_overrides)
 
         def _is_contiguous(idx_list):
             if not idx_list:
@@ -705,11 +717,13 @@ class Solver:
                     # entries/cell) and gather truncation also latches.
                     # Width-adaptive phase-1/gather tiers keep calm-scene
                     # cost at the live width, not the static budget.
-                    budget = dataclasses.replace(
-                        budget,
+                    auto = dict(
                         max_narrow_bodies=64,
                         max_candidates_per_body=512,
                     )
+                    for k in self._budget_overrides or ():
+                        auto.pop(k, None)  # user overrides win
+                    budget = dataclasses.replace(budget, **auto)
 
         # One batched transfer for the whole scene (state + topology):
         # per-array uploads through a remote-TPU tunnel measured ~5s each.

@@ -53,7 +53,15 @@ def applies(state, topo: Topology, colls: CollisionSet, config: StepConfig,
     coupling, the dense floor mode, and no other constraint families (each
     extra family is diagonal-only in the operator but would need its own
     column-space force port; scenes that have them take the generic path).
+
+    Position pins ARE admitted: their operator contribution is purely
+    diagonal (A = B = I, ``Constraints.cpp:65-74``) so the 4x4 block
+    structure holds (the +w rides ``diag``), and their force is the
+    build-time constant ``Topology.position_force_dense`` folded into the
+    inertia term — a soup with a few pinned nodes keeps the fast path
+    instead of quadrupling its tick on the generic one (VERDICT r4 #6).
     """
+    n_pins = topo.position.idx.shape[0]
     return (
         config.tet_cols
         and inv_dense is None
@@ -64,7 +72,10 @@ def applies(state, topo: Topology, colls: CollisionSet, config: StepConfig,
         and config.volume_contiguous
         and config.contact_coupling in ("diagonal", "recentered")
         and topo.distance.idx.shape[0] == 0
-        and topo.position.idx.shape[0] == 0
+        and (
+            n_pins == 0
+            or topo.position_force_dense.shape[0] == state.capacity
+        )
         and topo.bend.idx.shape[0] == 0
         and topo.shape.node_idx.shape[0] == 0
         and topo.goal.node_idx.shape[0] == 0
@@ -269,6 +280,12 @@ def substep_cols(
     k = n // 4
     kp = _round_up(k, 1024)
     dtype = x.dtype
+
+    # Position-pin force: w·target is a build-time constant per node
+    # (Constraints.cpp:65-74) — fold it into the inertia term once, exactly
+    # as assemble_force's dense branch adds it per iteration.
+    if topo.position.idx.shape[0]:
+        msn_h2 = msn_h2 + topo.position_force_dense
 
     xc = node3_to_cols(x)
     msn_c = node3_to_cols(msn_h2)
