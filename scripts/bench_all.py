@@ -249,16 +249,21 @@ def main():
     params = s.current_params()
     states = ensemble.stack_ensemble(s._state, n_scenes)
     import jax
-    step = jax.jit(
-        lambda st: ensemble.ensemble_tick(st, s._topology, params, s._config)
-    )
-    states, _ = step(states)
+    from functools import partial
+
+    # One dispatch per `ticks` batch (ensemble_tick_n) — per-tick host-loop
+    # dispatch cost (~27 ms over the tunnel) was half this row in round 4.
+    step_n = jax.jit(partial(
+        ensemble.ensemble_tick_n, topo=s._topology, params=params,
+        config=s._config, n=ticks,
+    ))
+    states, _ = step_n(states)
     _ = bool(states.sim_failed[0])  # value fetch = real sync over the tunnel
     t0 = time.perf_counter()
-    for _ in range(ticks):
-        states, _ = step(states)
+    states, _ = step_n(states)
     _ = bool(states.sim_failed[0])
     sps = ticks / (time.perf_counter() - t0)
+    assert not bool(states.sim_failed.any()), "ensemble member latched failure"
     rows.append(result(
         "ensemble_vmap", int(s._state.capacity) * n_scenes, sps, 4,
         {"scenes": n_scenes, "scene_steps_per_sec": round(sps * n_scenes, 2)},

@@ -28,7 +28,17 @@ def main():
          [1, 2, 6], [1, 6, 5], [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]],
         np.int32,
     )
+    # Optional world-scale factor (argv[3]).  The 100k-node row uses scale 6
+    # (cube side 12): at scale 1 the reference's world-unit CompRange quirk
+    # (Solver.cpp:659-661 — swept AABBs never divided by grid.scale) packs
+    # all 26.5k surface tris into ~27 effective cells, >1000 entries/bucket,
+    # and the reference latches _simFailed before the first timed tick.
+    # Scaling the GEOMETRY (not the options) keeps both engines on the same
+    # scene and gives the reference a representable bucket occupancy.
+    scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
     points, tets, surface = tetrahedralize(verts, tris, res)
+    if scale != 1.0:
+        points = points * np.float32(scale)
     with open(out, "w") as f:
         f.write(f"{points.shape[0]} {tets.shape[0]} {surface.shape[0]}\n")
         for p in points:

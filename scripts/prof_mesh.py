@@ -15,6 +15,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def load_mesh_txt(path):
+    """Read a scripts/dump_mesh.py dump (the refbench 'mesh' scene format),
+    so both engines integrate the byte-identical scene."""
+    with open(path) as f:
+        nn, nt, ns = (int(v) for v in f.readline().split())
+        data = np.loadtxt(f)
+    points = data[:nn].astype(np.float32)
+    tets = data[nn : nn + nt].astype(np.int32)
+    surface = data[nn + nt :].astype(np.int32)
+    assert surface.shape[0] == ns
+    return points, tets, surface
+
+
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "tick"
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -31,10 +44,19 @@ def main():
          [1, 2, 6], [1, 6, 5], [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]],
         np.int32,
     )
-    points, tets, surface = tetrahedralize(verts, tris, res)
+    if variant.startswith("mesh100k"):
+        points, tets, surface = load_mesh_txt(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "refbench", "tet_cube_mesh_100k.txt",
+        ))
+        res = 47
+    else:
+        points, tets, surface = tetrahedralize(verts, tris, res)
     kw = {
         "tick": dict(),
         "nocoll": dict(enable_collisions=False),
+        "mesh100k": dict(),
+        "mesh100k_nocoll": dict(enable_collisions=False),
         "dense2k": dict(dense_operator_max=2048),
         "cg4": dict(cg_iterations=4),
         "iters1": dict(),

@@ -45,6 +45,27 @@ class TestEnsemble:
                 atol=1e-6,
             )
 
+    def test_tick_n_matches_tick_loop(self):
+        """ensemble_tick_n (one-dispatch scan) == n ensemble_tick calls."""
+        state, topo = rope_scene()
+        cfg = StepConfig(solver=SolverName.PD, enable_collisions=False)
+        params = make_params(SolverOptions())
+
+        looped = ensemble.stack_ensemble(state, 3)
+        for _ in range(6):
+            looped, res_l = ensemble.ensemble_tick(looped, topo, params, cfg)
+        batched, res_n = ensemble.ensemble_tick_n(
+            ensemble.stack_ensemble(state, 3), topo, params, cfg, 6
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.positions),
+            np.asarray(looped.positions),
+            atol=0.0,
+        )
+        np.testing.assert_allclose(
+            float(res_n), float(jnp.max(res_l)), atol=0.0
+        )
+
     def test_sharded_step_runs_on_mesh(self):
         n_dev = len(jax.devices())
         assert n_dev == 8, "conftest should provide 8 virtual devices"
