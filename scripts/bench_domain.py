@@ -29,12 +29,21 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's sitecustomize hook force-registers the remote axon TPU
+# backend and OVERRIDES the JAX_PLATFORMS env var (see tests/conftest.py) —
+# the platform must be pinned programmatically or jax.devices() returns the
+# single real chip and the multi-device loop never runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -161,7 +170,13 @@ def main():
             "config": f"domain_{d}slab",
             "tick_ms": round(ms, 2),
             "tets": TETS_PER_SLAB * d,
-            "per_slab_vs_single": round(ms / single_ms, 3),
+            # The D virtual devices SHARE one physical core, so D slabs of
+            # equal load cost >= D x single-slab wall time even at zero
+            # overhead; the per-slab cost ratio (the VERDICT criterion,
+            # <= ~1.5x) is wall / (D * single).  On real multi-chip
+            # hardware the D factor disappears and wall/single is the
+            # criterion directly.
+            "per_slab_vs_single": round(ms / (d * single_ms), 3),
         })
         print(json.dumps(rows[-1]))
 

@@ -63,8 +63,11 @@ def main():
     b = s._config.budget
     n_tris = int(np.concatenate(s._builder.triangles).shape[0])
 
+    settle = int(os.environ.get("PIES_SETTLE", 0))
     s.run_ticks(ticks)
     assert not s.sim_failed, "warmup latched"
+    for _ in range(settle // ticks):
+        s.run_ticks(ticks)
     t0 = time.perf_counter()
     s.run_ticks(ticks)
     dt = time.perf_counter() - t0
@@ -72,6 +75,7 @@ def main():
     sps = ticks / dt
     line = (
         f"mixed nbw={b.max_narrow_bodies} bmax={b.max_candidates_per_body} "
+        f"settle={settle} "
         f"{1000*dt/ticks:8.2f} ms/tick  {sps*n_tris/1e6:6.3f}M tri-ticks/s"
     )
     print(line)

@@ -20,11 +20,10 @@ def load_mesh_txt(path):
     so both engines integrate the byte-identical scene."""
     with open(path) as f:
         nn, nt, ns = (int(v) for v in f.readline().split())
-        data = np.loadtxt(f)
-    points = data[:nn].astype(np.float32)
-    tets = data[nn : nn + nt].astype(np.int32)
-    surface = data[nn + nt :].astype(np.int32)
-    assert surface.shape[0] == ns
+        flat = np.fromstring(f.read(), sep=" ")
+    points = flat[: 3 * nn].reshape(nn, 3).astype(np.float32)
+    tets = flat[3 * nn : 3 * nn + 4 * nt].reshape(nt, 4).astype(np.int32)
+    surface = flat[3 * nn + 4 * nt :].reshape(ns, 3).astype(np.int32)
     return points, tets, surface
 
 

@@ -57,6 +57,47 @@ def main():
                 (3.0 * i, 1.0 + 0.5 * (b % 3), 3.0 * j), 5, 5, 5, 1.0,
                 (0.0, 0.0, 0.0), 4000.0,
             )
+    elif scene == "mixed":
+        import numpy as np
+
+        n_tets_mix = int(os.environ.get("PIES_PROF_TETS", 12_500))
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+        s.create_tet_soup(n_tets_mix, spacing=1.6, scale=0.8, w=2000.0,
+                          height=0.5, jitter=0.05)
+        side = int(np.ceil((n_tets_mix * 1.6 ** 3) ** (1 / 3)))
+        sheet_n = 48
+        sx = np.linspace(-side * 0.4, side * 0.4, sheet_n, dtype=np.float32)
+        gx, gz = np.meshgrid(sx, sx, indexing="ij")
+        pts = np.stack([gx, np.full_like(gx, 3.2), gz], -1).reshape(-1, 3)
+        ids = s._builder._emit_nodes(pts, inv_mass=1.0, radius=0.25)
+        g = ids.reshape(sheet_n, sheet_n)
+        pairs = np.concatenate([
+            np.stack([g[:-1, :].ravel(), g[1:, :].ravel()], 1),
+            np.stack([g[:, :-1].ravel(), g[:, 1:].ravel()], 1),
+            np.stack([g[:-1, :-1].ravel(), g[1:, 1:].ravel()], 1),
+        ])
+        s._builder._emit_distance(pairs, 4000.0)
+        tris = np.concatenate([
+            np.stack([g[:-1, :-1].ravel(), g[1:, :-1].ravel(),
+                      g[1:, 1:].ravel()], 1),
+            np.stack([g[:-1, :-1].ravel(), g[1:, 1:].ravel(),
+                      g[:-1, 1:].ravel()], 1),
+        ])
+        s._builder._emit_triangles(tris)
+        s._dirty = True
+    elif scene == "mesh100k":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from prof_mesh import load_mesh_txt
+
+        points, tets_a, surface = load_mesh_txt(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "refbench", "tet_cube_mesh_100k.txt",
+        ))
+        s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
+        ids = s._builder._emit_nodes(points, inv_mass=1.0, radius=0.2)
+        s._builder._emit_tets(ids[tets_a], 1000.0)
+        s._builder._emit_triangles(ids[surface])
+        s._dirty = True
     else:
         s = Solver(SolverOptions(solver=SolverName.PD), enable_collisions=True)
         s.create_tet_soup(n_tets, 1.6, 0.8, w=2000.0, height=0.5, jitter=0.05)
