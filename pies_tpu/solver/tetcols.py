@@ -360,23 +360,21 @@ def substep_cols(
                 )
                 for a in range(4)
             )
-            # Residual of the direct solve (reported for diagnostics parity
-            # with pcg_solve's ||b − A·x||).
-            az = _block_matvec_cols(diag_c, topo.tet_block6, x_new)
-            res2 = jnp.asarray(0.0, dtype)
-            for a in range(4):
-                for d in range(3):
-                    r = force[a][d] - az[a][d]
-                    r = jnp.where(mask_c[a] > 0, r, 0.0)
-                    res2 = res2 + jnp.sum(r * r)
-            return x_new, xc_it, jnp.sqrt(res2)
+            # The force that produced x_new rides the carry so the reported
+            # residual (diagnostics parity with pcg_solve's ||b − A·x||) is
+            # computed ONCE after the loop — the per-iteration residual
+            # matvec was 4 extra passes over the state per tick for a
+            # number only the last iteration of which anyone reads.
+            return x_new, xc_it, force
 
         return iteration
 
-    res0 = jnp.asarray(0.0, dtype)
-    carry0 = (xc, xc, res0)
+    force0 = tuple(
+        tuple(jnp.zeros_like(xc[a][d]) for d in range(3)) for a in range(4)
+    )
+    carry0 = (xc, xc, force0)
     if have_pt:
-        x_fin, x_stale, residual = jax.lax.cond(
+        x_fin, x_stale, force_fin = jax.lax.cond(
             jnp.sum(colls.pt_mask) > 0,
             lambda c: jax.lax.fori_loop(
                 0, config.iterations, make_iteration(True), c
@@ -387,9 +385,20 @@ def substep_cols(
             carry0,
         )
     else:
-        x_fin, x_stale, residual = jax.lax.fori_loop(
+        x_fin, x_stale, force_fin = jax.lax.fori_loop(
             0, config.iterations, make_iteration(False), carry0
         )
+    if config.iterations > 0:
+        az = _block_matvec_cols(diag_c, topo.tet_block6, x_fin)
+        res2 = jnp.asarray(0.0, dtype)
+        for a in range(4):
+            for d in range(3):
+                r = force_fin[a][d] - az[a][d]
+                r = jnp.where(mask_c[a] > 0, r, 0.0)
+                res2 = res2 + jnp.sum(r * r)
+        residual = jnp.sqrt(res2)
+    else:
+        residual = jnp.asarray(0.0, dtype)
 
     static_c = tuple(
         tuple(
