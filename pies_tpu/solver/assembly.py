@@ -95,9 +95,18 @@ def local_step(
     [K, 4, 3] point-triangle projection stack — only ``point_tri_delta``
     is consumed downstream.
     """
-    shape_p, quats = proj.project_shape(
-        x, mass, quats, topo.shape, rotation_iterations
-    )
+    if topo.shape.node_idx.shape[0]:
+        shape_p, quats = proj.project_shape(
+            x, mass, quats, topo.shape, rotation_iterations
+        )
+    else:
+        # No shape-matching constraints (static) — skip the projection
+        # entirely.  The dummy 1-group batch (state allocates
+        # max(1, groups) quats) otherwise runs extract_rotation's
+        # fixed-trip loop every iteration: ~20 trips x ~100 us of pure
+        # loop overhead on a [1]-group tensor, measured 9.2 ms/tick on the
+        # (shape-free) mixed scene and ~2 ms on the 20x20 cloth.
+        shape_p = jnp.zeros((0, 3), x.dtype)
     pt_proj, pt_delta = project_point_tri(
         x, colls.pt_idx, thickness, build_stack=pt_full,
         pt_count=jnp.sum(colls.pt_mask),
