@@ -103,7 +103,7 @@ def _deformation_gradient(
     edges = jnp.stack(
         [p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1
     )  # [C,3,3] columns = edges
-    return _einsum("cij,cjk->cik", edges, batch.qinv)
+    return _einsum("cij,cjk->cik", edges, batch.qinv3())
 
 
 def _projected_from_fhat(fhat: jax.Array) -> jax.Array:
@@ -234,7 +234,7 @@ def tet_force12(
     p = [[cols[a][:, d] for d in range(3)] for a in range(4)]
     e = [[p[k + 1][d] - p[0][d] for d in range(3)] for k in range(3)]
 
-    qf = math3d.flatten3x3(batch.qinv)
+    qf = tuple(batch.qinv[r] for r in range(9))  # flat rows, index 3i+j
     # F[d, j] = Σ_k edges[d, k] · qinv[k, j]
     f = tuple(
         e[0][d] * qf[0 + j] + e[1][d] * qf[3 + j] + e[2][d] * qf[6 + j]
@@ -261,10 +261,10 @@ def tet_force12(
     )
 
     # contrib[a, d] = w · Σ_j g[j, a] · F̂[d, j]
-    g = batch.g  # [C, 3, 4]
+    g = batch.g  # [12, C] flat, row 4j+a
     out = []
     for a in range(4):
-        ga = [g[:, j, a] for j in range(3)]
+        ga = [g[4 * j + a] for j in range(3)]
         for d in range(3):
             out.append(
                 batch.w
@@ -317,7 +317,7 @@ def tet_force12_fused_cols(p, strain: TetBatch, volume: TetBatch):
     the whole iteration in flat columns."""
     e = [[p[k + 1][d] - p[0][d] for d in range(3)] for k in range(3)]
 
-    qf = math3d.flatten3x3(strain.qinv)
+    qf = tuple(strain.qinv[r] for r in range(9))  # flat rows, index 3i+j
     f = tuple(
         e[0][d] * qf[0 + j] + e[1][d] * qf[3 + j] + e[2][d] * qf[6 + j]
         for d in range(3)
@@ -343,10 +343,10 @@ def tet_force12_fused_cols(p, strain: TetBatch, volume: TetBatch):
         for j in range(3)
     )
 
-    g = strain.g  # [C, 3, 4]
+    g = strain.g  # [12, C] flat, row 4j+a
     out = []
     for a in range(4):
-        ga = [g[:, j, a] for j in range(3)]
+        ga = [g[4 * j + a] for j in range(3)]
         for d in range(3):
             out.append(
                 ga[0] * fhat[3 * d + 0]

@@ -60,7 +60,7 @@ def constraint_residuals(state: SolverState, topo: Topology) -> dict:
             axis=-1,
         )
         return jnp.einsum(
-            "cij,cjk->cik", edges, batch.qinv,
+            "cij,cjk->cik", edges, batch.qinv3(),
             precision=jax.lax.Precision.HIGHEST,
         )
 

@@ -347,11 +347,21 @@ def partition_domain(
     )
 
     def tet_batch(idx_new, t: TetBatch):
-        rows = split(idx_new, t.w, t.qinv, t.g, t.lo, t.hi)
+        # qinv/g are stored transposed-flat ([9, C]/[12, C]); split selects
+        # per-tet rows, so hand it the [C, ·] transpose and restore the
+        # flat layout on the stacked [S, c, ·] output.
+        rows = split(
+            idx_new, t.w, np.asarray(t.qinv).T, np.asarray(t.g).T, t.lo, t.hi
+        )
         return stack_batch(
             rows,
             lambda i, w, qinv, g, lo, hi: TetBatch(
-                idx=i, qinv=qinv, g=g, lo=lo, hi=hi, w=w
+                idx=i,
+                qinv=np.ascontiguousarray(np.swapaxes(qinv, 1, 2)),
+                g=np.ascontiguousarray(np.swapaxes(g, 1, 2)),
+                lo=lo,
+                hi=hi,
+                w=w,
             ),
         )
 

@@ -260,7 +260,7 @@ def assemble_force(
                 )
                 f = f.at[batch.idx.T.reshape(-1)].add(blocks)
         elif batch.idx.shape[0]:
-            contrib = _einsum("cja,cjd->cad", batch.g, pl[:, 1:4, :])
+            contrib = _einsum("cja,cjd->cad", batch.g3(), pl[:, 1:4, :])
             f = _tet_scatter_add(
                 f, batch, batch.w[:, None, None] * contrib, contig
             )
@@ -394,6 +394,57 @@ def node_node_diag(
     ).astype(dtype)
 
 
+def _tet_ata_flat(
+    y: jax.Array, x: jax.Array, batch, w_over: jax.Array | None
+) -> jax.Array:
+    """``y += w·Gᵀ(G x)`` for a shared-node (non-contiguous) tet batch with
+    NO tet-shaped 3-D intermediates.
+
+    The einsum form materialized ``[C,4,3]``/``[C,3,3]`` buffers whose
+    minor dims tile-pad to (8,128) — ~4 KB per tet row, ~2.5 GB EACH at the
+    110k-node imported mesh's 623k tets; several live per CG trip crashed
+    the TPU worker outright (round-5 finding).  Here: one ``[4C,3]`` row
+    gather, one physical transpose to dense ``[3·4C]`` columns, the GᵀG
+    contraction as 36 fused column FMAs, and one flat ``[3N]``
+    scatter-add.  Peak transient is the [4C,3] gather (~1.3 GB at 623k) —
+    bounded, and the whole apply is ~4 GB of traffic instead of ~15.
+    """
+    c = batch.idx.shape[0]
+    n = x.shape[0]
+    idx_t = batch.idx.T.reshape(-1)  # [4C]
+    gx = x[idx_t]  # [4C, 3] row gather
+    gxt = jax.lax.optimization_barrier(gx.T.reshape(-1))  # dense [3·4C]
+
+    def pcol(a, d):
+        return jax.lax.slice(gxt, (d * 4 * c + a * c,), (d * 4 * c + (a + 1) * c,))
+
+    g = batch.g  # [12, C] flat, row 4j+a — dense column rows.
+    gf = [[g[4 * j + a] for a in range(4)] for j in range(3)]
+    w = batch.w if w_over is None else w_over
+    e = [
+        [
+            gf[j][0] * pcol(0, d)
+            + gf[j][1] * pcol(1, d)
+            + gf[j][2] * pcol(2, d)
+            + gf[j][3] * pcol(3, d)
+            for d in range(3)
+        ]
+        for j in range(3)
+    ]
+    vals = jnp.concatenate(
+        [
+            w * (gf[0][a] * e[0][d] + gf[1][a] * e[1][d] + gf[2][a] * e[2][d])
+            for a in range(4)
+            for d in range(3)
+        ]
+    )  # [12C] dense
+    slots = jnp.concatenate(
+        [d * n + batch.idx[:, a] for a in range(4) for d in range(3)]
+    )
+    acc = jnp.zeros((3 * n,), x.dtype).at[slots].add(vals)
+    return y + jax.lax.optimization_barrier(acc.reshape(3, n)).T
+
+
 def apply_system(
     x: jax.Array,
     mass_over_h2: jax.Array,
@@ -403,6 +454,7 @@ def apply_system(
     volume_contiguous: bool = False,
     static_diag: jax.Array | None = None,
     contact_coupling: str = "full",
+    tet_shared: bool = False,
 ) -> jax.Array:
     """Matrix-free ``(M/h² + Σ w·AᵀA) x`` — one CG operator application."""
     if static_diag is None:
@@ -437,6 +489,7 @@ def apply_system(
     if p.idx.shape[0]:
         y = y.at[p.idx].add(p.w[:, None] * x[p.idx])
 
+    ell = getattr(topo, "ell_nbr", None)
     if topo.tet_band.shape[1] == x.shape[0]:
         # Element-major strain+volume blocks as one banded operator: seven
         # shifted fused multiply-adds on [N, 3], no tet-shaped intermediates
@@ -447,17 +500,49 @@ def apply_system(
             acc = acc + band[3 + dd][:, None] * jnp.roll(x, -dd, axis=0)
             acc = acc + band[3 - dd][:, None] * jnp.roll(x, dd, axis=0)
         y = y + acc
+    elif ell is not None and ell.shape[0] == x.shape[0]:
+        # Shared-node meshes: the ASSEMBLED strain+volume AᵀA in ELL form
+        # (Topology.ell_nbr/ell_coef) — M row-gathers + FMAs on [N, ·]
+        # instead of the O(C)-shaped tet gather/scatter (which moved
+        # ~2.5 GB/trip at the 110k-node mesh's 623k tets).
+        coef = topo.ell_coef
+        acc = coef[:, 0:1] * x[ell[:, 0]]
+        for mm in range(1, ell.shape[1]):
+            acc = acc + coef[:, mm : mm + 1] * x[ell[:, mm]]
+        y = y + acc
     else:
-        for batch, contig in (
-            (topo.strain, strain_contiguous),
-            (topo.volume, volume_contiguous),
+        passes = [
+            (topo.strain, strain_contiguous, None),
+            (topo.volume, volume_contiguous, None),
+        ]
+        if (
+            tet_shared
+            and topo.strain.idx.shape[0]
+            and topo.volume.idx.shape[0] == topo.strain.idx.shape[0]
         ):
-            xg = proj.gather_tet_nodes(x, batch, contig)  # [C,4,3]
-            e = _einsum("cja,cad->cjd", batch.g, xg)  # G x
-            contrib = _einsum("cja,cjd->cad", batch.g, e)  # Gᵀ (G x)
-            y = _tet_scatter_add(
-                y, batch, batch.w[:, None, None] * contrib, contig
-            )
+            # Host-verified identical strain/volume tet lists (the
+            # tet_fused contract): AᵀA = (w_s + w_v)·GᵀG with one shared
+            # G, so both families ride ONE gather/compute/scatter pass.
+            passes = [
+                (topo.strain, strain_contiguous, topo.strain.w + topo.volume.w)
+            ]
+        for batch, contig, w_over in passes:
+            if not batch.idx.shape[0]:
+                continue
+            # The flat form assumes the 3 coordinate columns; the dense
+            # prefactorization probes the operator with an [N, N] identity
+            # (host._prepare) and keeps the einsum form.
+            if contig or x.shape[1] != 3:
+                xg = proj.gather_tet_nodes(x, batch, contig)  # [C,4,3]
+                g3 = batch.g3()
+                e = _einsum("cja,cad->cjd", g3, xg)  # G x
+                contrib = _einsum("cja,cjd->cad", g3, e)  # Gᵀ (G x)
+                w = batch.w if w_over is None else w_over
+                y = _tet_scatter_add(
+                    y, batch, w[:, None, None] * contrib, contig
+                )
+            else:
+                y = _tet_ata_flat(y, x, batch, w_over)
 
     b = topo.bend
     if b.idx.shape[0]:

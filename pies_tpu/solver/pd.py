@@ -106,6 +106,9 @@ def pd_substep(
         volume_contiguous=config.volume_contiguous,
         static_diag=static_diag,
         contact_coupling=config.contact_coupling,
+        # tet_fused == host-verified identical strain/volume tet lists, so
+        # the operator can apply both families in one (w_s+w_v)·GᵀG pass.
+        tet_shared=config.tet_fused,
     )
 
     inv_dense = (
@@ -204,10 +207,16 @@ def pd_substep(
 
     def run_iters(colls_it, pt_diag_it):
         def fn(carry):
-            return jax.lax.fori_loop(
-                0, config.iterations, make_iteration(colls_it, pt_diag_it),
-                carry,
-            )
+            it = make_iteration(colls_it, pt_diag_it)
+            if config.iterations <= 8:
+                # Static unroll (see contact_passes' note): removes the
+                # iteration loop's carry-layout boundaries and lets XLA
+                # fuse the force assembly into the next iteration's local
+                # step.  The CG while_loop inside each iteration remains.
+                for _i in range(config.iterations):
+                    carry = it(_i, carry)
+                return carry
+            return jax.lax.fori_loop(0, config.iterations, it, carry)
 
         return fn
 
@@ -369,9 +378,19 @@ def _finish_substep(
 
     def contact_passes(op):
         x, prev = op
-        x, prev = jax.lax.fori_loop(
-            0, config.collision_stabilization_iterations, stabilize, (x, prev)
-        )
+        if config.collision_stabilization_iterations <= 8:
+            # Static unroll: the fori_loop's (x, prev) carry forces a
+            # layout round-trip at every trip boundary (the body's
+            # scatters prefer T(4,128), the loop signature T(8,128) —
+            # measured 9 relayout copies/tick ≈ 5 ms on the mixed scene);
+            # unrolled, XLA propagates one layout through all passes.
+            for _i in range(config.collision_stabilization_iterations):
+                x, prev = stabilize(_i, (x, prev))
+        else:
+            x, prev = jax.lax.fori_loop(
+                0, config.collision_stabilization_iterations, stabilize,
+                (x, prev),
+            )
         vel = (
             (1.0 - params.damping) * (x - prev) / h
             + h * state.forces * state.inv_mass[:, None]

@@ -373,21 +373,31 @@ def substep_cols(
         tuple(jnp.zeros_like(xc[a][d]) for d in range(3)) for a in range(4)
     )
     carry0 = (xc, xc, force0)
+
+    def run_loop(with_pt):
+        it = make_iteration(with_pt)
+
+        def fn(c):
+            if config.iterations <= 8:
+                # Static unroll: removes per-trip loop boundaries (the
+                # 96-column carry pays a sync each trip) and lets XLA fuse
+                # the block solve into the next iteration's local step.
+                for _i in range(config.iterations):
+                    c = it(_i, c)
+                return c
+            return jax.lax.fori_loop(0, config.iterations, it, c)
+
+        return fn
+
     if have_pt:
         x_fin, x_stale, force_fin = jax.lax.cond(
             jnp.sum(colls.pt_mask) > 0,
-            lambda c: jax.lax.fori_loop(
-                0, config.iterations, make_iteration(True), c
-            ),
-            lambda c: jax.lax.fori_loop(
-                0, config.iterations, make_iteration(False), c
-            ),
+            run_loop(True),
+            run_loop(False),
             carry0,
         )
     else:
-        x_fin, x_stale, force_fin = jax.lax.fori_loop(
-            0, config.iterations, make_iteration(False), carry0
-        )
+        x_fin, x_stale, force_fin = run_loop(False)(carry0)
     if config.iterations > 0:
         az = _block_matvec_cols(diag_c, topo.tet_block6, x_fin)
         res2 = jnp.asarray(0.0, dtype)

@@ -85,11 +85,25 @@ class TetBatch:
     """
 
     idx: jax.Array  # i32[C, 4]
-    qinv: jax.Array  # f32[C, 3, 3]  rest-shape inverse (edge-matrix inverse)
-    g: jax.Array  # f32[C, 3, 4]
+    # qinv/g are stored TRANSPOSED-FLAT: row r of ``qinv`` is the (i, j) =
+    # (r // 3, r % 3) entry column f32[C]; row r of ``g`` the (j, a) =
+    # (r // 4, r % 4) entry.  A [C, 3, 3] layout tile-pads its minor dims
+    # to one (8, 128) tile PER TET (~4 KB/row): at the 110k-node imported
+    # mesh's 623k tets the four 3-D tensors held ~10 GB of HBM and the
+    # full tick crashed the TPU worker (round-5).  Flat rows are dense.
+    qinv: jax.Array  # f32[9, C]  rest-shape inverse (edge-matrix inverse)
+    g: jax.Array  # f32[12, C]
     lo: jax.Array  # f32[C]  minStrain (strain) / minOmega (volume)
     hi: jax.Array  # f32[C]  maxStrain / maxOmega
     w: jax.Array  # f32[C]
+
+    def qinv3(self) -> jax.Array:
+        """Reconstructed ``[C, 3, 3]`` view (small-scene/diagnostic paths)."""
+        return self.qinv.T.reshape(-1, 3, 3)
+
+    def g3(self) -> jax.Array:
+        """Reconstructed ``[C, 3, 4]`` view (small-scene/diagnostic paths)."""
+        return self.g.T.reshape(-1, 3, 4)
 
 
 @jax.tree_util.register_dataclass
@@ -246,6 +260,18 @@ class Topology:
     # narrow buffer (they would otherwise pin it full — cloth neighbors'
     # AABBs always overlap).  None when no two bodies share a node.
     super_adj: jax.Array = None  # i32[K, A] or None
+    # Assembled ELL (padded row-sparse) form of the strain+volume AᵀA for
+    # SHARED-NODE tet meshes — the reference's flagship addTriMeshVolume
+    # path (PrimitiveUtilities.cpp:164-328).  The matrix-free gather/
+    # scatter apply is O(C)-shaped: at the 110k-node imported mesh's 623k
+    # tets one CG trip moved ~2.5 GB of tile-padded tet rows (90 ms/trip).
+    # The assembled N-row form stores each node's ~15-30 neighbor
+    # coefficients; one apply is M row-gathers + fused multiply-adds on
+    # [N, 3] (~60x less traffic).  Built whenever tets are present, the
+    # element-major banded form does NOT hold, and the max row degree is
+    # bounded; None otherwise (disjoint soups use tet_band/tet_block6).
+    ell_nbr: jax.Array = None  # i32[N, M] or None
+    ell_coef: jax.Array = None  # f32[N, M] or None
     # Chain-structured distance constraints (PBD exact sequential
     # projection); None unless the host detected the chain layout and the
     # solver is PBD.  See ChainBatch.
@@ -331,8 +357,8 @@ def build_tets(
     pad_g = _pad2(g, cap)
     return TetBatch(
         idx=np.asarray(_pad2(idx, cap)),
-        qinv=np.asarray(pad_qinv),
-        g=np.asarray(pad_g),
+        qinv=np.ascontiguousarray(pad_qinv.reshape(cap, 9).T),
+        g=np.ascontiguousarray(pad_g.reshape(cap, 12).T),
         lo=np.asarray(_pad2(lo, cap)),
         hi=np.asarray(_pad2(hi, cap)),
         w=np.asarray(_pad2(w, cap)),
@@ -509,8 +535,10 @@ def assemble_topology(
 
     for key in ("strain", "volume"):
         t: TetBatch = fields[key]
-        ti, tw, tg = np.asarray(t.idx), np.asarray(t.w), np.asarray(t.g)
-        ata_diag = np.einsum("cji,cji->ci", tg, tg)  # (AᵀA)ᵢᵢ = Σⱼ G²ⱼᵢ
+        ti, tw = np.asarray(t.idx), np.asarray(t.w)
+        # t.g is [12, C] flat (row 4j+a); (AᵀA)ᵢᵢ = Σⱼ G²ⱼᵢ
+        tg = np.asarray(t.g).T.reshape(-1, 3, 4)
+        ata_diag = np.einsum("cji,cji->ci", tg, tg)
         for k in range(4):
             np.add.at(diag, ti[:, k], tw * ata_diag[:, k])
 
@@ -548,7 +576,8 @@ def assemble_topology(
         tet_band = np.zeros((7, num_nodes), dtype=_F32)
         for key in ("strain", "volume"):
             t = fields[key]
-            ti, tw, tg = np.asarray(t.idx), np.asarray(t.w), np.asarray(t.g)
+            ti, tw = np.asarray(t.idx), np.asarray(t.w)
+            tg = np.asarray(t.g).T.reshape(-1, 3, 4)
             gtg = np.einsum("cja,cjb->cab", tg, tg) * tw[:, None, None]
             for a in range(4):
                 for b_ in range(4):
@@ -572,6 +601,49 @@ def assemble_topology(
         )
     else:
         tet_block6 = None
+
+    # Assembled ELL operator for shared-node tet meshes (see the field
+    # comment).  Coefficients are coalesced in f64 on the host (the same
+    # assembly the reference does into its Eigen sparse matrix,
+    # Solver.cpp:184-210) — done once per topology change.
+    ell_nbr = ell_coef = None
+    if not banded:
+        rows_l, cols_l, vals_l = [], [], []
+        for key in ("strain", "volume"):
+            t = fields[key]
+            ti, tw = np.asarray(t.idx), np.asarray(t.w)
+            live = tw > 0
+            if not np.any(live):
+                continue
+            ti, tw = ti[live], tw[live]
+            tg = np.asarray(t.g).T.reshape(-1, 3, 4)[live]
+            gtg = np.einsum("cja,cjb->cab", tg, tg) * tw[:, None, None]
+            for a in range(4):
+                for b_ in range(4):
+                    rows_l.append(ti[:, a])
+                    cols_l.append(ti[:, b_])
+                    vals_l.append(gtg[:, a, b_])
+        if rows_l:
+            r = np.concatenate(rows_l).astype(np.int64)
+            c_ = np.concatenate(cols_l).astype(np.int64)
+            v = np.concatenate(vals_l).astype(np.float64)
+            key64 = r * num_nodes + c_
+            uniq, inv = np.unique(key64, return_inverse=True)
+            coal = np.zeros(uniq.shape[0], np.float64)
+            np.add.at(coal, inv, v)
+            rr = uniq // num_nodes
+            cc = uniq % num_nodes
+            deg = np.bincount(rr, minlength=num_nodes)
+            m = int(deg.max()) if deg.size else 0
+            if 0 < m <= 64:
+                starts = np.zeros(num_nodes + 1, np.int64)
+                np.cumsum(deg, out=starts[1:])
+                slot = np.arange(uniq.shape[0], dtype=np.int64) - starts[rr]
+                nbr = np.zeros((num_nodes, m), _I32)
+                coef = np.zeros((num_nodes, m), _F32)
+                nbr[rr, slot] = cc.astype(_I32)
+                coef[rr, slot] = coal.astype(_F32)
+                ell_nbr, ell_coef = nbr, coef
 
     # Static position-pin forces folded per node: targets never change after
     # build, so Σ w·target is a constant dense array added once per PD
@@ -603,5 +675,7 @@ def assemble_topology(
         position_force_dense=pos_force,
         dist_dense=np.zeros((1, 1), _F32),
         tet_block6=tet_block6,
+        ell_nbr=ell_nbr,
+        ell_coef=ell_coef,
         **fields,
     )

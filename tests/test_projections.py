@@ -72,7 +72,7 @@ class TestTets:
         x2 = x * np.array([1.6, 0.5, 1.0], np.float32)
         x2[idx[::5, 1]] = x[idx[::5, 0]] * 2 - x[idx[::5, 1]]  # invert some
         got = np.asarray(proj.project_strain(jnp.asarray(x2), batch))
-        qinv = np.asarray(batch.qinv)
+        qinv = np.asarray(batch.qinv).T.reshape(-1, 3, 3)
         for t in range(idx.shape[0]):
             want = oracle.tet_strain_project(x2[idx[t]], qinv[t], 0.8, 1.0)
             np.testing.assert_allclose(got[t], want, atol=3e-4, rtol=1e-3)
@@ -82,7 +82,7 @@ class TestTets:
         batch = topo_mod.build_tets(idx, x, 1.0, 1.0, 1.0)
         x2 = x * np.array([1.3, 0.7, 1.1], np.float32)
         got = np.asarray(proj.project_volume(jnp.asarray(x2), batch))
-        qinv = np.asarray(batch.qinv)
+        qinv = np.asarray(batch.qinv).T.reshape(-1, 3, 3)
         for t in range(idx.shape[0]):
             want = oracle.tet_volume_project(x2[idx[t]], qinv[t], 1.0, 1.0)
             np.testing.assert_allclose(got[t], want, atol=3e-4, rtol=1e-3)
