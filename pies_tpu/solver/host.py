@@ -1040,9 +1040,16 @@ class Solver:
         t0 = time.perf_counter()
         if heavy:
             done = 0
+            override = getattr(self, "max_ticks_per_dispatch", None)
             while done < n:
                 per = self.last_tick_seconds
-                if per and per > 0:
+                if override:
+                    # Pinned chunk size: measurement harnesses set this so
+                    # the adaptive sizing can't pick a fresh power of two
+                    # mid-measurement (a new size = a new executable = a
+                    # multi-minute compile inside the timed window).
+                    chunk = min(n - done, int(override))
+                elif per and per > 0:
                     chunk = max(1, min(n - done, int(budget / per)))
                     # Power-of-two quantization: every distinct chunk size
                     # is its own executable (~minutes of compile at this
