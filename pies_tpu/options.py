@@ -119,6 +119,13 @@ class StepConfig:
     time_substeps: int = 1
     iterations: int = 4
     collision_stabilization_iterations: int = 4
+    # Statically unroll the small fixed-trip solver loops (PD iterations,
+    # stabilization, tet-column loop): removes per-trip carry-layout
+    # boundaries and lets XLA fuse across iterations (round-5: several
+    # ms/tick on mid-size scenes).  Ensemble rollouts (vmap over scenes)
+    # disable it — the 4x-unrolled body under vmap x64 schedules worse
+    # than the rolled loop.
+    unroll_loops: bool = True
     # Conjugate-gradient iterations for the PD global step.  The reference
     # solves exactly with a prefactored sparse Cholesky (Solver.cpp:212-215);
     # matrix-free Jacobi-PCG replaces it (SURVEY §2.7 item 6).  16 iterations

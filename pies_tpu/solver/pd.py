@@ -208,7 +208,7 @@ def pd_substep(
     def run_iters(colls_it, pt_diag_it):
         def fn(carry):
             it = make_iteration(colls_it, pt_diag_it)
-            if config.iterations <= 8:
+            if config.unroll_loops and config.iterations <= 8:
                 # Static unroll (see contact_passes' note): removes the
                 # iteration loop's carry-layout boundaries and lets XLA
                 # fuse the force assembly into the next iteration's local
@@ -378,7 +378,7 @@ def _finish_substep(
 
     def contact_passes(op):
         x, prev = op
-        if config.collision_stabilization_iterations <= 8:
+        if config.unroll_loops and config.collision_stabilization_iterations <= 8:
             # Static unroll: the fori_loop's (x, prev) carry forces a
             # layout round-trip at every trip boundary (the body's
             # scatters prefer T(4,128), the loop signature T(8,128) —

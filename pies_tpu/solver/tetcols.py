@@ -378,7 +378,7 @@ def substep_cols(
         it = make_iteration(with_pt)
 
         def fn(c):
-            if config.iterations <= 8:
+            if config.unroll_loops and config.iterations <= 8:
                 # Static unroll: removes per-trip loop boundaries (the
                 # 96-column carry pays a sync each trip) and lets XLA fuse
                 # the block solve into the next iteration's local step.
